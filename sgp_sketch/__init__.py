@@ -1,0 +1,17 @@
+"""sgp_sketch — a Ray-Data-native distributed sketch / streaming-partitioning engine.
+
+Built from scratch against the capabilities of the reference testbed
+(anilpacaci/streaming-graph-partitioning, SIGMOD'19): greedy streaming
+balance-vs-locality partition assignment (hash/LDG/Fennel semantics of
+``EdgeCutSGP.java``), mergeable accumulator state, skew-aware shuffle, and
+throughput/imbalance metrics — re-expressed as mergeable sketch UDAFs
+(HyperLogLog, count-min, t-digest, KLL, blocked Bloom) over Parquet tables of
+pre-tokenized training sequences, executed as ``ray.data.Dataset`` pipelines
+(``map_batches`` over zero-copy Arrow batches, actor pools for stateful
+stages, groupby-aggregate merge shuffles).
+
+Nothing in here is a port: the reference is single-JVM line-at-a-time Java;
+this library is columnar, vectorized and distributed by construction.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,123 @@
+"""Blocked Bloom filter (Putze, Sanders & Singler 2007).
+
+The bit array is partitioned into 512-bit (cache-line) blocks; all k probes
+for a key land in one block, selected by the key's hash. Merge is bitwise OR
+(same geometry), so the filter is a mergeable UDAF like every other sketch.
+
+FPR for a blocked filter is slightly above the classic (1-e^{-kn/m})^k due
+to block-load variance; tests assert against that bound with headroom.
+
+Motivated by the reference's membership scans (bidirectional-BFS frontier
+intersection, shortestPathTest.groovy:196-206 — SURVEY.md §2.6 O5): at scale
+the small side becomes a broadcast Bloom probe inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..hashing import hash_i64, hash_str, splitmix64
+from .base import Sketch, register_sketch
+
+_BLOCK_BITS = 512
+_BLOCK_WORDS = _BLOCK_BITS // 64
+_PROBE_SALT = np.uint64(0xD6E8FEB86659FD93)
+
+
+@register_sketch
+class BlockedBloomFilter(Sketch):
+    NAME = "bloom"
+    KIND_ID = 3
+
+    def __init__(self, n_blocks: int = 1024, k: int = 6, seed: int = 0):
+        if n_blocks < 1 or not 1 <= k <= 7:
+            raise ValueError("bad bloom params (k in [1,7]: 7*9 bits of h2 used)")
+        self.n_blocks = n_blocks
+        self.k = k
+        self.seed = seed
+        self.words = np.zeros(n_blocks * _BLOCK_WORDS, dtype=np.uint64)
+        self.n_added = 0  # upper bound on distinct insertions (sum over merges)
+
+    @property
+    def n_bits(self) -> int:
+        return self.n_blocks * _BLOCK_BITS
+
+    def _hash(self, values) -> np.ndarray:
+        v = np.asarray(values)
+        if v.dtype.kind in "iu":
+            return hash_i64(v, self.seed)
+        return hash_str(v, self.seed)
+
+    def _bit_indices(self, h: np.ndarray) -> np.ndarray:
+        """Global bit indices, shape (k, n): block base + 9-bit probe offsets."""
+        h1 = h.astype(np.uint64, copy=False)
+        block = (h1 % np.uint64(self.n_blocks)) * np.uint64(_BLOCK_BITS)
+        h2 = splitmix64(h1 ^ _PROBE_SALT)
+        shifts = (np.arange(self.k, dtype=np.uint64) * np.uint64(9))[:, None]
+        offs = (h2[None, :] >> shifts) & np.uint64(_BLOCK_BITS - 1)
+        return block[None, :] + offs
+
+    def add(self, values) -> None:
+        v = np.asarray(values)
+        if len(v) == 0:
+            return
+        bits = np.unique(self._bit_indices(self._hash(v)).ravel())
+        widx = (bits >> np.uint64(6)).astype(np.int64)
+        masks = np.uint64(1) << (bits & np.uint64(63))
+        # group masks by word via reduceat (widx is sorted since bits is sorted)
+        edge = np.empty(len(widx), dtype=bool)
+        edge[0] = True
+        edge[1:] = widx[1:] != widx[:-1]
+        starts = np.flatnonzero(edge)
+        merged = np.bitwise_or.reduceat(masks, starts)
+        self.words[widx[starts]] |= merged
+        self.n_added += len(v)
+
+    update = add
+
+    def contains(self, values) -> np.ndarray:
+        v = np.asarray(values)
+        if len(v) == 0:
+            return np.zeros(0, dtype=bool)
+        bits = self._bit_indices(self._hash(v))  # (k, n)
+        widx = (bits >> np.uint64(6)).astype(np.int64)
+        masks = np.uint64(1) << (bits & np.uint64(63))
+        hit = (self.words[widx] & masks) != 0
+        return hit.all(axis=0)
+
+    def estimate(self):
+        """Finalize: fill ratio and the classic FPR upper estimate."""
+        fill = float(np.unpackbits(self.words.view(np.uint8)).mean())
+        return {"fill_ratio": fill, "fpr_estimate": float(fill ** self.k),
+                "n_added": self.n_added}
+
+    @property
+    def expected_fpr(self) -> float:
+        """Classic Bloom bound for the current insertion count."""
+        m, n = self.n_bits, max(self.n_added, 1)
+        return float((1.0 - np.exp(-self.k * n / m)) ** self.k)
+
+    def merge(self, other: "BlockedBloomFilter") -> "BlockedBloomFilter":
+        if (other.n_blocks, other.k, other.seed) != (self.n_blocks, self.k, self.seed):
+            raise ValueError("incompatible bloom params")
+        np.bitwise_or(self.words, other.words, out=self.words)
+        self.n_added += other.n_added
+        return self
+
+    def to_bytes(self) -> bytes:
+        payload = struct.pack("<IIqq", self.n_blocks, self.k, self.seed, self.n_added) \
+            + self.words.tobytes()
+        return self._frame(payload)
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "BlockedBloomFilter":
+        n_blocks, k, seed, n_added = struct.unpack_from("<IIqq", payload, 0)
+        off = struct.calcsize("<IIqq")
+        sk = cls(n_blocks=n_blocks, k=k, seed=seed)
+        sk.words = np.frombuffer(
+            payload, dtype=np.uint64, count=n_blocks * _BLOCK_WORDS, offset=off
+        ).copy()
+        sk.n_added = n_added
+        return sk
