@@ -1,0 +1,336 @@
+"""The sketch-build pipeline: read -> assign -> update -> merge -> finalize.
+
+Dataflow (all Ray Data, streaming with backpressure — the reference's
+bounded-queue producer/consumer pipeline, ADJParser.groovy:74-156, comes for
+free from the streaming executor):
+
+1. **plan** — per-source loads via partial aggregation inside
+   ``map_batches`` + a tiny ``groupby`` (sources << rows), then the greedy
+   salted assigner maps each source to its merge partition(s)
+   (partition.py; the analogue of EdgeCutSGP's vertex->partition map).
+   The map is broadcast once via ``ray.put`` — never re-shipped per batch.
+2. **update** — ``map_batches(SketchUpdater, batch_format="pyarrow")`` over
+   the tokens table: per batch, per scope (global + each source present),
+   update fresh sketches and emit *partial sketch rows*
+   ``(scope, kind, partition_id, payload, n_rows, n_tokens)``. Raw token
+   data never crosses a shuffle boundary — only KB-scale partials do.
+3. **merge** — ``groupby("partition_id").map_groups``: each merge partition
+   reduces its partials per (scope, kind). Because the assigner routes all
+   partials of a source to one partition (unless salted), this stage
+   produces one row per scope; a second, tiny ``groupby(["scope","kind"])``
+   folds cross-partition scopes (global + salted monsters).
+4. **finalize** — the handful of merged rows come to the driver; estimates
+   are decoded per sketch kind.
+
+Idempotent re-execution: partial emission is a pure function of the batch
+content, and Ray replaces (not duplicates) re-executed block outputs, so
+merges never double-count (SURVEY.md §7.4 #5).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from .hashing import hash_str
+from .partition import assign_sources_salted
+from .sketches.base import SKETCH_BY_NAME, sketch_from_bytes
+
+SCOPE_GLOBAL = "__global__"
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("scope", pa.string()),
+        ("kind", pa.string()),
+        ("partition_id", pa.int32()),
+        ("payload", pa.binary()),
+        ("n_rows", pa.int64()),
+        ("n_tokens", pa.int64()),
+    ]
+)
+
+
+@dataclass
+class SketchSpec:
+    """One sketch to build: which algorithm, over which column, at which scopes."""
+
+    kind: str  # hll | cms | kll | tdigest | bloom
+    value: str = "tokens"  # "tokens" (flattened ids) or "n_tok" (per-row)
+    params: dict = field(default_factory=dict)
+    per_source: bool = True
+    global_scope: bool = True
+
+    def make(self):
+        cls = SKETCH_BY_NAME[self.kind]
+        params = dict(self.params)
+        # per-batch partials default to the compact sparse representation
+        if self.kind in ("cms", "bloom") and "sparse" not in params:
+            params["sparse"] = True
+        return cls(**params)
+
+
+DEFAULT_SPECS = [
+    SketchSpec("hll", value="tokens"),
+    SketchSpec("cms", value="tokens"),
+    SketchSpec("kll", value="n_tok"),
+    SketchSpec("tdigest", value="n_tok"),
+    SketchSpec("bloom", value="tokens", per_source=False),
+]
+
+
+def _batch_arrays(batch: pa.Table):
+    """Decode one Arrow batch into numpy views (zero/low-copy)."""
+    tokens = batch["tokens"]
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    flat = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    lens = tokens.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tok = batch["n_tok"].to_numpy(zero_copy_only=False)
+    src = batch["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    de = src.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    sources = de.dictionary.to_pylist()
+    return flat, lens, n_tok, codes, sources
+
+
+class SketchUpdater:
+    """Stateful actor-pool stage: per batch, emit partial sketch rows.
+
+    ``__init__`` runs once per actor (broadcast partition map fetched from
+    the object store there, not per batch); ``__call__`` runs per Arrow
+    batch and is fully vectorized: rows are grouped by source via one
+    stable argsort, token slices per source are contiguous gathers.
+    """
+
+    def __init__(self, specs: list[SketchSpec], k: int, amap_ref=None):
+        self.specs = specs
+        self.k = k
+        if amap_ref is not None:
+            import ray
+
+            self.amap = ray.get(amap_ref)
+        else:
+            self.amap = None
+        self._block = 0  # per-actor counter: spreads global/salted partials
+
+    def _partition_of(self, source: str) -> int:
+        if self.amap is None:
+            h = int(hash_str(np.array([source], dtype=object))[0])
+            return h % self.k
+        parts = self.amap.get(source)
+        if parts is None:  # unseen source (e.g. resumed run on grown input)
+            h = int(hash_str(np.array([source], dtype=object))[0])
+            return h % self.k
+        return int(parts[self._block % len(parts)])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, lens, n_tok, codes, sources = _batch_arrays(batch)
+        self._block += 1
+        out = {name: [] for name in ("scope", "kind", "partition_id", "payload",
+                                     "n_rows", "n_tokens")}
+
+        def emit(scope, kind, pid, sk, n_rows, n_tokens):
+            out["scope"].append(scope)
+            out["kind"].append(kind)
+            out["partition_id"].append(pid)
+            out["payload"].append(sk.to_bytes())
+            out["n_rows"].append(n_rows)
+            out["n_tokens"].append(n_tokens)
+
+        total_rows = len(n_tok)
+        total_tokens = int(lens.sum())
+        gpid = self._block % self.k
+
+        # global-scope partials over the whole batch
+        for spec in self.specs:
+            if not spec.global_scope:
+                continue
+            sk = spec.make()
+            sk.update(flat if spec.value == "tokens" else n_tok)
+            emit(SCOPE_GLOBAL, spec.kind, gpid, sk, total_rows, total_tokens)
+
+        per_source = [s for s in self.specs if s.per_source]
+        if per_source and len(sources) > 0:
+            # group rows by source: one stable argsort, contiguous slices
+            row_order = np.argsort(codes, kind="stable")
+            row_bounds = np.searchsorted(codes[row_order], np.arange(len(sources) + 1))
+            # group tokens by source: repeat codes per token, same trick
+            tok_codes = np.repeat(codes, lens)
+            tok_order = np.argsort(tok_codes, kind="stable")
+            tok_sorted = flat[tok_order]
+            tok_bounds = np.searchsorted(tok_codes[tok_order], np.arange(len(sources) + 1))
+            for si, source in enumerate(sources):
+                rows = row_order[row_bounds[si]:row_bounds[si + 1]]
+                toks = tok_sorted[tok_bounds[si]:tok_bounds[si + 1]]
+                pid = self._partition_of(source)
+                for spec in per_source:
+                    sk = spec.make()
+                    sk.update(toks if spec.value == "tokens" else n_tok[rows])
+                    emit(f"src:{source}", spec.kind, pid, sk, len(rows), len(toks))
+
+        return pa.Table.from_pydict(out, schema=PARTIAL_SCHEMA)
+
+
+def merge_partial_group(group: pa.Table) -> pa.Table:
+    """Reduce partial sketch rows: one output row per (scope, kind)."""
+    scopes = group["scope"].to_pylist()
+    kinds = group["kind"].to_pylist()
+    payloads = group["payload"].to_pylist()
+    pids = group["partition_id"].to_pylist()
+    n_rows = group["n_rows"].to_pylist()
+    n_toks = group["n_tokens"].to_pylist()
+    acc: dict[tuple, list] = {}
+    for i, key in enumerate(zip(scopes, kinds)):
+        sk = sketch_from_bytes(payloads[i])
+        slot = acc.get(key)
+        if slot is None:
+            acc[key] = [sk, pids[i], n_rows[i], n_toks[i]]
+        else:
+            slot[0] = slot[0].merge(sk)
+            slot[2] += n_rows[i]
+            slot[3] += n_toks[i]
+    out = {name: [] for name in ("scope", "kind", "partition_id", "payload",
+                                 "n_rows", "n_tokens")}
+    for (scope, kind), (sk, pid, nr, nt) in sorted(acc.items()):
+        out["scope"].append(scope)
+        out["kind"].append(kind)
+        out["partition_id"].append(pid)
+        out["payload"].append(sk.to_bytes())
+        out["n_rows"].append(nr)
+        out["n_tokens"].append(nt)
+    return pa.Table.from_pydict(out, schema=PARTIAL_SCHEMA)
+
+
+def plan_partitions(ds, k: int, *, by: str = "source", load_col: str = "n_tok"):
+    """Stage 1: per-source loads (combiner + tiny groupby) -> salted greedy map.
+
+    Returns (source -> int32 partition array, partition load vector,
+    per-source load table as pandas).
+    """
+
+    def partial_loads(t: pa.Table) -> pa.Table:
+        g = t.group_by(by).aggregate([(load_col, "sum")])
+        return g.rename_columns([by, "load"])
+
+    agg = (
+        ds.map_batches(partial_loads, batch_format="pyarrow")
+        .groupby(by)
+        .sum("load")
+        .to_pandas()
+    )
+    agg = agg.sort_values(by).reset_index(drop=True)  # deterministic stream order
+    amap, sizes = assign_sources_salted(
+        agg[by].tolist(), agg["sum(load)"].to_numpy(), k=k
+    )
+    return amap, sizes, agg
+
+
+@dataclass
+class SketchResult:
+    """Finalized pipeline output: merged sketches + run metrics."""
+
+    sketches: dict[tuple, Any]  # (scope, kind) -> Sketch
+    counts: dict[tuple, tuple]  # (scope, kind) -> (n_rows, n_tokens)
+    metrics: dict
+
+    def get(self, kind: str, scope: str = SCOPE_GLOBAL):
+        return self.sketches[(scope, kind)]
+
+    def scopes(self, kind: str) -> list[str]:
+        return [s for (s, k) in self.sketches if k == kind]
+
+    def estimates_table(self) -> pa.Table:
+        rows = {"scope": [], "kind": [], "n_rows": [], "n_tokens": [], "estimate": []}
+        for (scope, kind), sk in sorted(self.sketches.items()):
+            nr, nt = self.counts[(scope, kind)]
+            rows["scope"].append(scope)
+            rows["kind"].append(kind)
+            rows["n_rows"].append(nr)
+            rows["n_tokens"].append(nt)
+            est = sk.estimate()
+            rows["estimate"].append(repr(est) if not isinstance(est, float) else repr(est))
+        return pa.Table.from_pydict(rows)
+
+
+def build_sketches(
+    ds,
+    specs: list[SketchSpec] | None = None,
+    *,
+    k: int = 16,
+    batch_size: int = 8192,
+    concurrency: int | tuple | None = None,
+    plan: bool = True,
+) -> SketchResult:
+    """Run the full sketch pipeline over a tokens Dataset.
+
+    ``plan=True`` runs the greedy salted partition planner (one cheap
+    pre-pass over (source, n_tok) only); ``plan=False`` falls back to hash
+    partitioning of sources (the reference's no-information baseline,
+    EdgeCutSGP.java:112-133).
+    """
+    import ray
+
+    specs = specs if specs is not None else DEFAULT_SPECS
+    if concurrency is None:
+        # actor pool sized to the session CPUs, leaving headroom for the
+        # read and merge stages so no stage starves (SURVEY.md §7.2)
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, ncpu - 2)
+    t0 = time.perf_counter()
+    metrics: dict[str, Any] = {"k": k, "batch_size": batch_size}
+
+    amap_ref = None
+    if plan:
+        amap, sizes, _ = plan_partitions(ds.select_columns(["source", "n_tok"]), k)
+        metrics["plan_sec"] = time.perf_counter() - t0
+        metrics["planned_imbalance"] = float(sizes.max() / sizes.mean()) if sizes.mean() else 0.0
+        metrics["n_sources"] = len(amap)
+        metrics["n_salted"] = int(sum(1 for v in amap.values() if len(v) > 1))
+        amap_ref = ray.put(amap)
+
+    t1 = time.perf_counter()
+    partials = ds.map_batches(
+        SketchUpdater,
+        fn_constructor_args=(specs, k, amap_ref),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    merged_stage1 = partials.groupby("partition_id").map_groups(
+        merge_partial_group, batch_format="pyarrow"
+    )
+    merged = merged_stage1.groupby(["scope", "kind"]).map_groups(
+        merge_partial_group, batch_format="pyarrow"
+    )
+    rows = merged.take_all()
+    metrics["build_sec"] = time.perf_counter() - t1
+
+    sketches: dict[tuple, Any] = {}
+    counts: dict[tuple, tuple] = {}
+    for row in rows:
+        key = (row["scope"], row["kind"])
+        sk = sketch_from_bytes(row["payload"])
+        if key in sketches:  # defensive: should not happen after stage 2
+            sketches[key] = sketches[key].merge(sk)
+            nr, nt = counts[key]
+            counts[key] = (nr + row["n_rows"], nt + row["n_tokens"])
+        else:
+            sketches[key] = sk
+            counts[key] = (row["n_rows"], row["n_tokens"])
+
+    gkey = (SCOPE_GLOBAL, specs[0].kind) if specs else None
+    if gkey in counts:
+        nr, nt = counts[gkey]
+        metrics["n_rows"] = nr
+        metrics["n_tokens"] = nt
+        metrics["tokens_per_sec"] = nt / metrics["build_sec"] if metrics["build_sec"] else 0.0
+    metrics["total_sec"] = time.perf_counter() - t0
+    return SketchResult(sketches, counts, metrics)

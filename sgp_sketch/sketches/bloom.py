@@ -31,14 +31,38 @@ class BlockedBloomFilter(Sketch):
     NAME = "bloom"
     KIND_ID = 3
 
-    def __init__(self, n_blocks: int = 1024, k: int = 6, seed: int = 0):
+    def __init__(self, n_blocks: int = 1024, k: int = 6, seed: int = 0,
+                 sparse: bool = False):
         if n_blocks < 1 or not 1 <= k <= 7:
             raise ValueError("bad bloom params (k in [1,7]: 7*9 bits of h2 used)")
         self.n_blocks = n_blocks
         self.k = k
         self.seed = seed
-        self.words = np.zeros(n_blocks * _BLOCK_WORDS, dtype=np.uint64)
         self.n_added = 0  # upper bound on distinct insertions (sum over merges)
+        # sparse mode: buffer raw key hashes until the buffer outweighs the
+        # dense bit array — keeps per-batch partials shipped through the
+        # merge shuffle small; densification replays the hashes, so final
+        # bits are independent of when the switch happened
+        self._pending: np.ndarray | None = (
+            np.empty(0, dtype=np.uint64) if sparse else None
+        )
+        self._sparse_limit = max(64, (n_blocks * _BLOCK_BITS) // 128)
+        self.words = (
+            None if sparse else np.zeros(n_blocks * _BLOCK_WORDS, dtype=np.uint64)
+        )
+
+    @property
+    def is_sparse(self) -> bool:
+        return self._pending is not None
+
+    def _densify(self) -> None:
+        if self._pending is None:
+            return
+        pending = self._pending
+        self._pending = None
+        self.words = np.zeros(self.n_blocks * _BLOCK_WORDS, dtype=np.uint64)
+        if len(pending):
+            self._set_bits(pending)
 
     @property
     def n_bits(self) -> int:
@@ -59,11 +83,8 @@ class BlockedBloomFilter(Sketch):
         offs = (h2[None, :] >> shifts) & np.uint64(_BLOCK_BITS - 1)
         return block[None, :] + offs
 
-    def add(self, values) -> None:
-        v = np.asarray(values)
-        if len(v) == 0:
-            return
-        bits = np.unique(self._bit_indices(self._hash(v)).ravel())
+    def _set_bits(self, hashes: np.ndarray) -> None:
+        bits = np.unique(self._bit_indices(hashes).ravel())
         widx = (bits >> np.uint64(6)).astype(np.int64)
         masks = np.uint64(1) << (bits & np.uint64(63))
         # group masks by word via reduceat (widx is sorted since bits is sorted)
@@ -73,6 +94,19 @@ class BlockedBloomFilter(Sketch):
         starts = np.flatnonzero(edge)
         merged = np.bitwise_or.reduceat(masks, starts)
         self.words[widx[starts]] |= merged
+
+    def add(self, values) -> None:
+        v = np.asarray(values)
+        if len(v) == 0:
+            return
+        h = self._hash(v)
+        if self._pending is not None:
+            if len(self._pending) + len(h) <= self._sparse_limit:
+                self._pending = np.unique(np.concatenate([self._pending, h]))
+                self.n_added += len(v)
+                return
+            self._densify()
+        self._set_bits(h)
         self.n_added += len(v)
 
     update = add
@@ -81,7 +115,10 @@ class BlockedBloomFilter(Sketch):
         v = np.asarray(values)
         if len(v) == 0:
             return np.zeros(0, dtype=bool)
-        bits = self._bit_indices(self._hash(v))  # (k, n)
+        h = self._hash(v)
+        if self._pending is not None:  # sparse mode: exact membership of hashes
+            return np.isin(h, self._pending)
+        bits = self._bit_indices(h)  # (k, n)
         widx = (bits >> np.uint64(6)).astype(np.int64)
         masks = np.uint64(1) << (bits & np.uint64(63))
         hit = (self.words[widx] & masks) != 0
@@ -89,6 +126,8 @@ class BlockedBloomFilter(Sketch):
 
     def estimate(self):
         """Finalize: fill ratio and the classic FPR upper estimate."""
+        if self._pending is not None:
+            self._densify()
         fill = float(np.unpackbits(self.words.view(np.uint8)).mean())
         return {"fill_ratio": fill, "fpr_estimate": float(fill ** self.k),
                 "n_added": self.n_added}
@@ -102,22 +141,40 @@ class BlockedBloomFilter(Sketch):
     def merge(self, other: "BlockedBloomFilter") -> "BlockedBloomFilter":
         if (other.n_blocks, other.k, other.seed) != (self.n_blocks, self.k, self.seed):
             raise ValueError("incompatible bloom params")
-        np.bitwise_or(self.words, other.words, out=self.words)
+        if self._pending is not None and other._pending is not None \
+                and len(self._pending) + len(other._pending) <= self._sparse_limit:
+            self._pending = np.unique(np.concatenate([self._pending, other._pending]))
+        else:
+            self._densify()
+            if other._pending is not None:
+                if len(other._pending):
+                    self._set_bits(other._pending)
+            else:
+                np.bitwise_or(self.words, other.words, out=self.words)
         self.n_added += other.n_added
         return self
 
     def to_bytes(self) -> bytes:
-        payload = struct.pack("<IIqq", self.n_blocks, self.k, self.seed, self.n_added) \
-            + self.words.tobytes()
-        return self._frame(payload)
+        mode = 0 if self._pending is not None else 1
+        head = struct.pack("<IIqqB", self.n_blocks, self.k, self.seed, self.n_added, mode)
+        if mode == 0:
+            body = struct.pack("<I", len(self._pending)) + self._pending.tobytes()
+        else:
+            body = self.words.tobytes()
+        return self._frame(head + body)
 
     @classmethod
     def from_payload(cls, payload: bytes) -> "BlockedBloomFilter":
-        n_blocks, k, seed, n_added = struct.unpack_from("<IIqq", payload, 0)
-        off = struct.calcsize("<IIqq")
-        sk = cls(n_blocks=n_blocks, k=k, seed=seed)
-        sk.words = np.frombuffer(
-            payload, dtype=np.uint64, count=n_blocks * _BLOCK_WORDS, offset=off
-        ).copy()
+        n_blocks, k, seed, n_added, mode = struct.unpack_from("<IIqqB", payload, 0)
+        off = struct.calcsize("<IIqqB")
+        sk = cls(n_blocks=n_blocks, k=k, seed=seed, sparse=(mode == 0))
+        if mode == 0:
+            (n,) = struct.unpack_from("<I", payload, off)
+            off += 4
+            sk._pending = np.frombuffer(payload, dtype=np.uint64, count=n, offset=off).copy()
+        else:
+            sk.words = np.frombuffer(
+                payload, dtype=np.uint64, count=n_blocks * _BLOCK_WORDS, offset=off
+            ).copy()
         sk.n_added = n_added
         return sk

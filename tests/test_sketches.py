@@ -283,3 +283,76 @@ class TestTDigest:
         assert np.array_equal(rt.means, t.means)
         assert np.array_equal(rt.weights, t.weights)
         assert rt.quantile(0.5) == t.quantile(0.5)
+
+
+# ------------------------------------------------- sparse partial modes
+
+
+class TestSparsePartials:
+    def test_cms_sparse_exact_then_dense(self):
+        c = CountMinSketch(width=64, depth=3, sparse=True)
+        c.update(np.array([1, 1, 2, 3]))
+        assert c.is_sparse
+        assert c.estimate_counts(np.array([1, 2, 9])).tolist() == [2, 1, 0]
+        c.update(np.arange(10_000))  # blow past the sparse limit
+        assert not c.is_sparse
+        assert (c.estimate_counts(np.array([1, 2])) >= np.array([3, 2])).all()
+
+    def test_cms_sparse_dense_merge_equivalence(self):
+        rng = np.random.default_rng(11)
+        data = rng.integers(0, 500, 50_000)
+        half = len(data) // 2
+        a = CountMinSketch(width=2048, sparse=True)
+        a.update(data[:half])
+        b = CountMinSketch(width=2048, sparse=True)
+        b.update(data[half:])
+        ref = CountMinSketch(width=2048, sparse=False)
+        ref.update(data)
+        merged = a.merge(b)
+        probe = np.unique(data)
+        # sparse path is exact; estimates must be <= the dense CMS estimates
+        # and >= truth -> equal where dense has no collisions; assert bounds
+        est_m = merged.estimate_counts(probe)
+        est_r = ref.estimate_counts(probe)
+        import collections
+        true = collections.Counter(data.tolist())
+        truth = np.array([true[k] for k in probe.tolist()])
+        assert (est_m >= truth).all()
+        assert (est_m <= est_r).all()
+
+    def test_cms_sparse_roundtrip(self):
+        c = CountMinSketch(sparse=True)
+        c.update(np.array([5, 5, 7]))
+        rt = sketch_from_bytes(c.to_bytes())
+        assert rt.is_sparse
+        assert rt.estimate_counts(np.array([5, 7])).tolist() == [2, 1]
+        assert rt.total == 3
+
+    def test_bloom_sparse_exact_then_dense(self):
+        b = BlockedBloomFilter(n_blocks=16, k=4, sparse=True)
+        b.add(np.array([10, 20, 30]))
+        assert b.is_sparse
+        assert b.contains(np.array([10, 20, 30])).all()
+        assert not b.contains(np.array([40])).any()  # exact while sparse
+        b.add(np.arange(10_000))
+        assert not b.is_sparse
+        assert b.contains(np.array([10, 20, 30])).all()
+
+    def test_bloom_sparse_merge_matches_dense(self):
+        keys = np.arange(2_000)
+        a = BlockedBloomFilter(n_blocks=512, sparse=True)
+        a.add(keys[:1000])
+        b = BlockedBloomFilter(n_blocks=512, sparse=True)
+        b.add(keys[1000:])
+        merged = a.merge(b)
+        merged._densify()
+        ref = BlockedBloomFilter(n_blocks=512)
+        ref.add(keys)
+        assert np.array_equal(merged.words, ref.words)
+
+    def test_bloom_sparse_roundtrip(self):
+        b = BlockedBloomFilter(n_blocks=16, sparse=True)
+        b.add(np.array(["x", "y"], dtype=object))
+        rt = sketch_from_bytes(b.to_bytes())
+        assert rt.is_sparse
+        assert rt.contains(np.array(["x", "y"], dtype=object)).all()
