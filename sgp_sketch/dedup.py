@@ -1,0 +1,287 @@
+"""Deduplication operators over the documents table.
+
+- exact: content-hash groupby, keep min doc_id per group;
+- MinHash + LSH: per-batch vectorized signatures -> banded bucket groupby
+  -> candidate pairs -> exact-Jaccard verification;
+- SimHash: 64-bit signatures + Hamming-ball candidate pairs;
+- unigram-Jaccard exact pairs (the oracle-checkable counterpart);
+- embedding-cosine near-dup (see ann.py for the kernel).
+
+Scale posture: signatures/buckets are the only shuffled payloads; the
+verification join broadcasts doc word-sets only at correctness scale and is
+documented to switch to a keyed repartition join at data scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import hash_str, splitmix64
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def content_hash_batch(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    import hashlib
+
+    out = batch.copy()
+    out["content_hash"] = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch[col]
+    ]
+    return out
+
+
+def exact_dedup(ds, col: str = "text"):
+    """Exact dedup: md5(content) groupby, survivor = min(doc_id) per group.
+
+    The hash — not the content — is the shuffle key, so wide text never
+    feeds the all-to-all (guide: 'Exact dedup' pattern).
+    """
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, col)[["doc_id", "content_hash"]],
+        batch_format="pandas",
+    )
+
+    def _survivor(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": [g["doc_id"].min()],
+                "n_dups": [len(g)],
+            }
+        )
+
+    return hashed.groupby("content_hash").map_groups(_survivor, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ MinHash
+
+
+def minhash_params(n_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE) - 1, size=n_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, int(_MERSENNE) - 1, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(word_lists: list[list[str]], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_docs, n_perm) uint64 signatures, vectorized per batch.
+
+    Universal hashing ((a*h + b) mod 2^61-1) over the *distinct* word hashes
+    of each doc; per-doc minimum via one reduceat over the concatenation.
+    """
+    n_perm = len(a)
+    sets = [np.unique(hash_str(np.array(ws, dtype=object))) if ws else
+            np.array([0], dtype=np.uint64) for ws in word_lists]
+    lens = np.array([len(s) for s in sets], dtype=np.int64)
+    flat = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+    flat = flat % _MERSENNE
+    with np.errstate(over="ignore"):
+        # (n_words, n_perm): wrapping mul then mod-Mersenne approximation via
+        # true Python-free path: use float-free exact (a*h+b) mod p with
+        # 128-bit emulation avoided — wrap-around mod 2^64 then mod p is NOT
+        # the textbook hash, but it is a fixed deterministic universal-ish
+        # family, which is all MinHash needs (uniform, pairwise-independent
+        # enough in practice).
+        grid = (flat[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+    starts = np.zeros(len(sets), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return np.minimum.reduceat(grid, starts, axis=0)
+
+
+def minhash_lsh_pipeline(
+    ds,
+    *,
+    n_perm: int = 128,
+    bands: int = 32,
+    jaccard_threshold: float = 0.5,
+    seed: int = 7,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """MinHash-LSH near-dup candidate pairs, verified with exact Jaccard.
+
+    shingle(word) -> minhash -> band -> bucket groupby -> pairs -> verify
+    (the guide's canonical near-dup shape). Returns a Dataset of
+    (doc_a, doc_b, jaccard) with jaccard >= threshold, doc_a < doc_b.
+    """
+    import ray
+
+    a, b = minhash_params(n_perm, seed)
+    rows = n_perm // bands
+
+    class Signer:
+        def __init__(self):
+            self.a, self.b = a, b
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            words = batch[text_col].str.split(" ").tolist()
+            sig = minhash_signatures(words, self.a, self.b)
+            band_hash = np.empty((len(batch), bands), dtype=np.uint64)
+            for bi in range(bands):
+                seg = sig[:, bi * rows:(bi + 1) * rows]
+                h = seg[:, 0].copy()
+                for r in range(1, rows):
+                    h = splitmix64(h ^ seg[:, r])
+                band_hash[:, bi] = h
+            out = pd.DataFrame(
+                {
+                    doc_col: np.repeat(batch[doc_col].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(batch)),
+                    "bucket": band_hash.reshape(-1).astype("uint64"),
+                }
+            )
+            return out
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    buckets = ds.map_batches(
+        Signer, batch_format="pandas", concurrency=max(2, ncpu // 2)
+    )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[doc_col].to_numpy())
+        if len(ids) < 2 or len(ids) > 1000:  # guard degenerate buckets
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+
+    cand = buckets.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
+
+    def _dedup_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    cand = cand.map_batches(_dedup_pairs, batch_format="pandas")
+    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+    # exact verification: broadcast doc -> word-hash set (correctness-scale
+    # only; at data scale replace with a repartition join keyed by doc_id)
+    word_sets = {}
+    for bt in ds.select_columns([doc_col, text_col]).iter_batches(batch_format="pandas"):
+        for did, txt in zip(bt[doc_col], bt[text_col]):
+            word_sets[did] = np.unique(hash_str(np.array(txt.split(" "), dtype=object)))
+    ref = ray.put(word_sets)
+
+    class Verify:
+        def __init__(self):
+            self.sets = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+            jac = np.empty(len(batch), dtype=np.float64)
+            for i, (x, y) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
+                sa, sb = self.sets[x], self.sets[y]
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                jac[i] = inter / (len(sa) + len(sb) - inter)
+            out = batch.copy()
+            keep = jac >= jaccard_threshold  # filter on RAW values (SQL parity)
+            out["jaccard"] = jac.round(6)
+            return out[keep]
+
+    return cand.map_batches(Verify, batch_format="pandas", concurrency=2)
+
+
+def jaccard_pairs_exact(
+    ds, *, threshold: float = 0.5, doc_col: str = "doc_id", text_col: str = "text"
+) -> pd.DataFrame:
+    """Exact all-pairs unigram Jaccard >= threshold (oracle-checkable).
+
+    Distributed shape: each batch of docs is compared against the broadcast
+    full word-set table — O(batch x docs) set intersections; valid at
+    correctness scale, while the LSH pipeline above is the data-scale path.
+    """
+    import ray
+
+    word_sets: dict = {}
+    for bt in ds.select_columns([doc_col, text_col]).iter_batches(batch_format="pandas"):
+        for did, txt in zip(bt[doc_col], bt[text_col]):
+            word_sets[did] = np.unique(hash_str(np.array(txt.split(" "), dtype=object)))
+    ref = ray.put(word_sets)
+
+    class AllPairs:
+        def __init__(self):
+            self.sets = ray.get(ref)
+            self.ids = sorted(self.sets)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rows_a, rows_b, jac = [], [], []
+            for did in batch[doc_col]:
+                sa = self.sets[did]
+                for other in self.ids:
+                    if other <= did:
+                        continue
+                    sb = self.sets[other]
+                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                    j = inter / (len(sa) + len(sb) - inter)
+                    if j >= threshold:
+                        rows_a.append(did)
+                        rows_b.append(other)
+                        jac.append(round(j, 6))
+            return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "jaccard": jac})
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return ds.select_columns([doc_col]).map_batches(
+        AllPairs, batch_format="pandas", concurrency=max(2, ncpu // 2)
+    )
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def simhash_pipeline(ds, *, hamming_threshold: int = 3,
+                     doc_col: str = "doc_id", text_col: str = "text"):
+    """SimHash near-dup: 64-bit signatures; candidates = identical 16-bit
+    chunks (pigeonhole for hamming <= 3 over 4 chunks); verified by Hamming
+    distance. Returns (doc_a, doc_b, hamming) pairs."""
+    import ray
+
+    from .text import simhash64
+
+    def _sign(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch[text_col].str.split(" ").tolist()
+        sig = simhash64(words)
+        out = batch[[doc_col]].copy()
+        out["simhash"] = sig.astype("uint64")
+        return out
+
+    signed = ds.map_batches(_sign, batch_format="pandas")
+
+    def _chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = batch["simhash"].to_numpy().astype(np.uint64)
+        outs = []
+        for c in range(4):
+            chunk = (sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            outs.append(pd.DataFrame({
+                doc_col: batch[doc_col],
+                "simhash": sig,
+                "chunk_id": np.int32(c),
+                "chunk": chunk.astype("int64"),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    chunked = signed.map_batches(_chunks, batch_format="pandas")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(doc_col)
+        ids = g[doc_col].to_numpy()
+        sigs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2 or len(ids) > 1000:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        x = sigs[ii] ^ sigs[jj]
+        ham = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= hamming_threshold
+        return pd.DataFrame({"doc_a": ids[ii][keep], "doc_b": ids[jj][keep],
+                             "hamming": ham[keep]})
+
+    pairs = chunked.groupby(["chunk_id", "chunk"]).map_groups(_pairs, batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -1,0 +1,144 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video are treated as ``binary`` columns with metadata columns
+(``media_type``, ``n_bytes``). Decode / feature-extract / resize /
+frame-sample run as actor-pool ``map_batches`` stages with small batch
+sizes (large binary payloads — guide: memory-aware batches).
+
+The decode libraries (PIL/torchaudio/ffmpeg) are NOT in this container, so
+the codec step is STUBBED: ``mode="fake"`` produces deterministic
+pseudo-features from the payload bytes (so the Ray-side plumbing — schema,
+batch size, actor signature, output layout — is real and tested), and
+``mode="real"`` raises ``NotImplementedError`` at the exact point a codec
+would be called.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("media_type", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synthesize_media_dataset(sf_dir: str):
+    """Deterministic media table derived from documents: the utf-8 bytes of
+    each text stand in for an encoded payload (no external data)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _to_media(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        payloads = [t.encode("utf-8") for t in texts]
+        kinds = ["image", "audio", "video"]
+        return pa.Table.from_pydict(
+            {
+                "media_id": [f"m{int(i)}" for i in ids],
+                "media_type": [kinds[int(i) % 3] for i in ids],
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads],
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return ds.map_batches(_to_media, batch_format="pyarrow")
+
+
+class MediaDecoder:
+    """Actor-pool decode/feature stage.
+
+    ``__init__`` is where a real codec would be loaded once per actor;
+    ``__call__`` consumes small Arrow batches of binary payloads and emits a
+    fixed-width float feature row per item.
+    """
+
+    def __init__(self, mode: str = "fake", feature_dim: int = FEATURE_DIM):
+        if mode not in ("fake", "real"):
+            raise ValueError("mode must be 'fake' or 'real'")
+        self.mode = mode
+        self.dim = feature_dim
+        # real mode would do:  self.codec = load_image_codec() / ffmpeg init
+
+    def _decode_real(self, payload: bytes, media_type: str) -> np.ndarray:
+        raise NotImplementedError(
+            "codec libraries (PIL/ffmpeg/torchaudio) are not available in "
+            "this environment; run with mode='fake' for the deterministic stub"
+        )
+
+    def _decode_fake(self, payload: bytes, media_type: str) -> np.ndarray:
+        """Deterministic pseudo-features: byte histogram folded to dim."""
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        hist = np.bincount(arr % self.dim, minlength=self.dim).astype(np.float64)
+        total = hist.sum()
+        return hist / total if total else hist
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        decode = self._decode_fake if self.mode == "fake" else self._decode_real
+        feats = np.vstack([decode(p, t) for p, t in zip(payloads, types)])
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "n_bytes": batch["n_bytes"],
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), pa.float64()), self.dim
+                ),
+            }
+        )
+
+
+def media_features(ds, *, mode: str = "fake", batch_size: int = 256,
+                   concurrency: int = 2):
+    """Decode + feature-extract pipeline stage (small batches: binary rows)."""
+    return ds.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def frame_sample(ds, every_n: int = 10, *, batch_size: int = 256,
+                 concurrency: int = 2):
+    """Frame-sampling stub for video payloads: emits one pseudo-frame row
+    per ``every_n`` payload bytes (stands in for decoded frame iteration;
+    the row layout — media_id, frame_idx, frame_bytes — is the real one)."""
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for mid, mtype, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if mtype != "video":
+                continue
+            for fi, off in enumerate(range(0, len(payload), every_n)):
+                ids.append(mid)
+                idxs.append(fi)
+                frames.append(payload[off:off + every_n])
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame_bytes": pa.array(frames, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(_sample, batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,154 @@
+"""Exact relational/text operators (the DuckDB-parity query surface).
+
+These are the exact counterparts of the sketch estimators (SURVEY.md §2.5
+A1-A8: grouped aggregation, distinct, counts, percentiles, unions) plus the
+reference's ETL shapes (broadcast map-side join M8/J3, groupby-reduce J1),
+expressed Ray-Data-first:
+
+- combiners inside ``map_batches`` before every ``groupby`` (partial
+  aggregation — rows crossing the shuffle are pre-collapsed);
+- broadcast dict joins via ``ray.put`` for small dimension tables;
+- exact quantiles via a distributed value-counts histogram (valid when the
+  value domain is small, e.g. integer word counts — the data-scale path for
+  arbitrary domains is the KLL/t-digest sketch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def explode_words(ds, text_col: str = "text", keep: tuple = ("source",)):
+    """documents -> one row per word (plus ``keep`` columns), streamed.
+
+    DuckDB parity: ``unnest(string_split(text, ' '))``.
+    """
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch[text_col].combine_chunks()
+                                 if isinstance(batch[text_col], pa.ChunkedArray)
+                                 else batch[text_col], " ")
+        lens = words.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"word": words.flatten()}
+        for c in keep:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[c] = col.take(pa.array(np.repeat(np.arange(len(lens)), lens)))
+        return pa.Table.from_pydict(cols)
+
+    return ds.map_batches(_explode, batch_format="pyarrow")
+
+
+def word_counts(ds, text_col: str = "text", keep: tuple = ("source",)):
+    """(word, *keep) -> cnt with an in-batch combiner before the groupby."""
+
+    exploded = explode_words(ds, text_col, keep)
+    group_cols = ["word", *keep]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(group_cols).aggregate([([], "count_all")])
+        return g.rename_columns(group_cols + ["cnt"])
+
+    partial = exploded.map_batches(_partial, batch_format="pyarrow")
+    return partial.groupby(group_cols).sum("cnt")
+
+
+def distinct_count_per_key(ds, key: str, text_col: str = "text"):
+    """Exact COUNT(DISTINCT word) GROUP BY key — two-level shuffle,
+    first level pre-deduped per batch (combiner)."""
+
+    exploded = explode_words(ds, text_col, keep=(key,))
+
+    def _dedup(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key, "word"]).aggregate([])
+        return g
+
+    pairs = exploded.map_batches(_dedup, batch_format="pyarrow")
+    distinct_pairs = pairs.groupby([key, "word"]).count()
+
+    def _count_key(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "cnt"])
+
+    return (
+        distinct_pairs.map_batches(_count_key, batch_format="pyarrow")
+        .groupby(key)
+        .sum("cnt")
+    )
+
+
+def global_distinct_count(ds, text_col: str = "text") -> int:
+    """Exact global COUNT(DISTINCT word)."""
+    exploded = explode_words(ds, text_col, keep=())
+
+    def _dedup(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["word"]).aggregate([])
+
+    return exploded.map_batches(_dedup, batch_format="pyarrow").groupby("word").count().count()
+
+
+def topk_words(ds, k: int = 20, text_col: str = "text"):
+    """Top-k words by exact count; deterministic tie-break (cnt desc, word asc)."""
+    counts = word_counts(ds, text_col, keep=())
+    top = counts.sort(["sum(cnt)", "word"], descending=[True, False]).limit(k)
+    return top
+
+
+def exact_discrete_quantiles(ds, value_col: str, qs: list[float]) -> pd.DataFrame:
+    """Exact discrete quantiles (DuckDB quantile_disc / numpy 'lower') via a
+    distributed value-counts histogram.
+
+    Scales when the value domain is small (integer token counts); the
+    histogram — not the rows — comes to the driver.
+    """
+
+    def _vc(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([value_col, "cnt"])
+
+    hist = (
+        ds.select_columns([value_col])
+        .map_batches(_vc, batch_format="pyarrow")
+        .groupby(value_col)
+        .sum("cnt")
+        .to_pandas()
+        .sort_values(value_col)
+        .reset_index(drop=True)
+    )
+    counts = hist["sum(cnt)"].to_numpy()
+    values = hist[value_col].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        idx = int(np.floor(q * (n - 1)))  # 'lower' interpolation rank
+        out.append(values[int(np.searchsorted(cum, idx + 1))])
+    return pd.DataFrame({"q": qs, "value": out})
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on: str, select: list[str] | None = None):
+    """Map-side broadcast join (the reference's ``sc.broadcast(lookup)``
+    pattern, adj2metis.scala:33,44-48): the small side is put in the object
+    store once and merged per batch inside ``map_batches``."""
+    import ray
+
+    if select is not None:
+        cols = list(dict.fromkeys([on, *select]))
+        small_df = small_df[cols]
+    ref = ray.put(small_df)
+
+    class Joiner:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how="inner")
+
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 4))
+    return ds.map_batches(Joiner, batch_format="pandas", concurrency=max(2, ncpu // 2))

@@ -253,8 +253,7 @@ class SketchResult:
             rows["kind"].append(kind)
             rows["n_rows"].append(nr)
             rows["n_tokens"].append(nt)
-            est = sk.estimate()
-            rows["estimate"].append(repr(est) if not isinstance(est, float) else repr(est))
+            rows["estimate"].append(repr(sk.estimate()))
         return pa.Table.from_pydict(rows)
 
 

@@ -1,0 +1,766 @@
+"""The driver-facing query registry: Ray pipelines + DuckDB oracle SQL.
+
+Every exact operator has a matching ANSI-SQL oracle string (column names
+and rounding identical on both sides — the driver hash-compares values).
+Sketch / approximate / stateful-greedy operators are registered without an
+oracle (rows-only check) and carry their error-bound tests in pytest.
+
+All callables take ``sf_dir`` and return a Dataset / pandas DataFrame /
+pyarrow Table. None of them calls ``ray.init`` (driver contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .pipeline import DEFAULT_SPECS, SCOPE_GLOBAL, build_sketches
+from .schema import tokens_dataset
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+STOPLIST = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+TOKEN_PATTERN_SQL = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+# ===================================================================
+# exact relational queries (SQL-parity)
+# ===================================================================
+
+
+def q1_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1 shape: grouped pricing aggregates with named columns."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def enrich(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    out = (
+        ds.map_batches(enrich, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    for c, d in [("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2),
+                 ("avg_disc", 6)]:
+        out[c] = out[c].round(d)
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(sf_dir: str):
+    """orders x customer x nation via broadcast map-side join (small dims)."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    dim = dim[["c_custkey", "n_name"]]
+
+    from .ops import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(
+        orders.map_batches(lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+                           batch_format="pandas"),
+        dim, on="c_custkey",
+    )
+    out = (
+        joined.groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                   Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: events per (event_type, hour)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        floored = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("s"))
+        hour = pc.strftime(floored, format="%Y-%m-%d %H:%M:%S")
+        return t.append_column("hour", hour)
+
+    out = (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, hour
+"""
+
+
+def user_event_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    out = (
+        ds.groupby("user_id")
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"),
+                   Max("value", alias_name="max_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
+USER_EVENT_STATS_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+       max(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+def parts_by_brand(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Min
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    out = (
+        ds.groupby("p_brand")
+        .aggregate(Count(alias_name="n_parts"),
+                   Mean("p_retailprice", alias_name="avg_price"),
+                   Min("p_size", alias_name="min_size"))
+        .to_pandas()
+    )
+    out["avg_price"] = out["avg_price"].round(4)
+    return out
+
+
+PARTS_BY_BRAND_SQL = """
+SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price,
+       min(p_size) AS min_size
+FROM part GROUP BY p_brand
+"""
+
+
+def lineitem_shipped_revenue(sf_dir: str):
+    """Filter pushdown + grouped revenue (vectorized predicate in-batch)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = (
+        ds.map_batches(filt, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_rows"), Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+LINEITEM_SHIPPED_SQL = """
+SELECT l_returnflag, count(*) AS n_rows,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+"""
+
+
+# ===================================================================
+# exact text / token queries (SQL-parity over documents)
+# ===================================================================
+
+
+def doc_word_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        return pa.Table.from_pydict({
+            "doc_id": t["doc_id"],
+            "n_words": pc.cast(pc.list_value_length(words), pa.int64()),
+            "char_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+DOC_WORD_STATS_SQL = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+       length(text) AS char_len
+FROM documents
+"""
+
+
+def distinct_tokens_per_source(sf_dir: str):
+    from .ops import distinct_count_per_key
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    out = distinct_count_per_key(ds, "source").to_pandas()
+    return out.rename(columns={"sum(cnt)": "n_distinct"})
+
+
+DISTINCT_PER_SOURCE_SQL = """
+SELECT source, count(DISTINCT w) AS n_distinct
+FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY source
+"""
+
+
+def global_distinct_tokens(sf_dir: str):
+    from .ops import global_distinct_count
+
+    ds = _read(sf_dir, "documents", ["text"])
+    n = global_distinct_count(ds)
+    return pd.DataFrame({"n_distinct": [n]})
+
+
+GLOBAL_DISTINCT_SQL = """
+SELECT count(DISTINCT w) AS n_distinct
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+"""
+
+
+def topk_tokens(sf_dir: str):
+    from .ops import topk_words
+
+    ds = _read(sf_dir, "documents", ["text"])
+    out = topk_words(ds, k=20).to_pandas()
+    return out.rename(columns={"sum(cnt)": "cnt"})
+
+
+TOPK_TOKENS_SQL = """
+SELECT w AS word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w ORDER BY cnt DESC, word ASC LIMIT 20
+"""
+
+
+def ntok_quantiles(sf_dir: str):
+    """Exact discrete quantiles of per-doc word counts via the distributed
+    value-counts histogram (quantile_disc parity)."""
+    from .ops import exact_discrete_quantiles
+
+    ds = doc_word_stats(sf_dir).select_columns(["n_words"])
+    qs = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    return exact_discrete_quantiles(ds, "n_words", qs)
+
+
+NTOK_QUANTILES_SQL = " UNION ALL ".join(
+    f"SELECT {q} AS q, quantile_disc(n, {q}) AS value FROM "
+    f"(SELECT len(string_split(text, ' ')) AS n FROM documents)"
+    for q in [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+)
+
+
+def regex_tokens_by_source(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .text import TokenCounter
+
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    counted = ds.map_batches(TokenCounter, batch_format="pandas",
+                             concurrency=max(2, ncpu // 2))
+    return (
+        counted.groupby("source")
+        .aggregate(Sum("n_regex_tokens", alias_name="total_tokens"))
+    )
+
+
+REGEX_TOKENS_SQL = f"""
+SELECT source, CAST(sum(len(regexp_extract_all(text, '{TOKEN_PATTERN_SQL}')))
+               AS BIGINT) AS total_tokens
+FROM documents GROUP BY source
+"""
+
+
+def md5_fingerprints(sf_dir: str):
+    from .text import md5_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(md5_fingerprint, batch_format="pandas")
+
+
+MD5_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def quality_scores(sf_dir: str):
+    from .text import quality_features
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_features, batch_format="pandas")
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPLIST)
+QUALITY_SQL = f"""
+SELECT doc_id, n_words, stop_hits,
+       CAST(floor((0.4 * least(1.0, n_words / 100.0)
+             + 0.3 * (1.0 - stop_hits / greatest(n_words, 1))
+             + 0.3 * least(1.0, char_len / 500.0)) * 1000000 + 0.5) AS BIGINT)
+           AS quality_e6
+FROM (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) AS stop_hits,
+           length(text) AS char_len
+    FROM documents
+)
+"""
+
+
+def dedup_exact_docs(sf_dir: str):
+    from .dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id", "n_dups"])
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text
+"""
+
+
+def jaccard_dup_pairs(sf_dir: str):
+    from .dedup import jaccard_pairs_exact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_pairs_exact(ds, threshold=0.95)
+
+
+JACCARD_PAIRS_SQL = """
+WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.ws, b.ws))::DOUBLE
+             / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.95
+"""
+
+
+def embedding_label_norms(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        from .ann import _stack
+
+        m = _stack(t["embedding"])
+        return pa.Table.from_pydict({
+            "label": t["label"],
+            "norm": np.sqrt((m * m).sum(axis=1)),
+        })
+
+    out = (
+        ds.map_batches(norms, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n"), Mean("norm", alias_name="avg_norm"))
+        .to_pandas()
+    )
+    out["avg_norm"] = out["avg_norm"].round(4)
+    return out
+
+
+EMB_NORMS_SQL = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 5 vectors as queries.
+
+    Output is (query_id, vec_id, rank) — ranks from float64 sims with
+    vec_id tie-break, so no float column reaches the hash compare.
+    """
+    from .ann import brute_force_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    mask = pc.less(emb["vec_id"], pa.scalar(5))
+    qt = emb.filter(mask)
+    queries = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, queries, qids, k=10).to_pandas()
+    return out[["query_id", "vec_id", "rank"]]
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+base AS (
+    SELECT q.query_id, e.vec_id,
+           list_cosine_similarity(q.qe, e.embedding) AS sim
+    FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+    FROM base
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def cosine_neardup(sf_dir: str):
+    from .ann import cosine_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = cosine_neardup_pairs(ds, threshold=0.5).to_pandas()
+    return out[["id_a", "id_b"]]
+
+
+COSINE_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+"""
+
+
+def media_meta(sf_dir: str):
+    """Multimodal metadata pipeline (payloads synthesized from text bytes)."""
+    from .multimodal import synthesize_media_dataset
+
+    ds = synthesize_media_dataset(sf_dir)
+    return ds.select_columns(["media_id", "media_type", "n_bytes"])
+
+
+MEDIA_META_SQL = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+       octet_length(CAST(text AS BLOB)) AS n_bytes
+FROM documents
+"""
+
+
+# ===================================================================
+# sketch / approximate / stateful queries (rows-only driver check;
+# error-bound + determinism tests live in pytest)
+# ===================================================================
+
+
+def _sketch_result(sf_dir: str, k: int = 8):
+    ds = tokens_dataset(sf_dir)
+    return build_sketches(ds, k=k, batch_size=4096)
+
+
+def sketch_estimates(sf_dir: str):
+    """Flagship: all five sketches, global + per-source scopes."""
+    res = _sketch_result(sf_dir)
+    return res.estimates_table()
+
+
+def hll_distinct_per_source(sf_dir: str):
+    res = _sketch_result(sf_dir)
+    rows = {"source": [], "est_distinct": []}
+    for scope in res.scopes("hll"):
+        if scope == SCOPE_GLOBAL:
+            continue
+        rows["source"].append(scope.removeprefix("src:"))
+        rows["est_distinct"].append(round(res.get("hll", scope).estimate()))
+    return pd.DataFrame(rows)
+
+
+def cms_heavy_hitters(sf_dir: str):
+    res = _sketch_result(sf_dir)
+    hh = res.get("cms").heavy_hitters(20)
+    return pd.DataFrame({
+        "token_id": [t for t, _ in hh],
+        "est_count": [c for _, c in hh],
+        "rank": np.arange(1, len(hh) + 1, dtype=np.int64),
+    })
+
+
+def kll_ntok_quantiles(sf_dir: str):
+    res = _sketch_result(sf_dir)
+    qs = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    return pd.DataFrame({"q": qs, "value": res.get("kll").quantiles(qs)})
+
+
+def tdigest_ntok_quantiles(sf_dir: str):
+    res = _sketch_result(sf_dir)
+    qs = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    return pd.DataFrame({"q": qs, "value": res.get("tdigest").quantiles(qs)})
+
+
+def bloom_stats(sf_dir: str):
+    res = _sketch_result(sf_dir)
+    est = res.get("bloom").estimate()
+    return pd.DataFrame({k: [v] for k, v in est.items()})
+
+
+def _source_loads(sf_dir: str) -> pd.DataFrame:
+    from .pipeline import plan_partitions  # noqa: F401 (shared shape)
+
+    ds = tokens_dataset(sf_dir).select_columns(["source", "n_tok"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n_tok", "sum")])
+        return g.rename_columns(["source", "load"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source").sum("load").to_pandas()
+    )
+    agg = agg.sort_values("source").reset_index(drop=True)
+    return agg.rename(columns={"sum(load)": "load"})
+
+
+def _partition_plan(sf_dir: str, algorithm: str):
+    from .partition import StreamingPartitioner
+
+    agg = _source_loads(sf_dir)
+    total = float(agg["load"].sum())
+    sp = StreamingPartitioner(8, algorithm, total_load=total,
+                             total_edges=float(len(agg)), tie="least_loaded")
+    parts = sp.assign_stream(agg["source"].tolist(), loads=agg["load"].to_numpy())
+    return pd.DataFrame({
+        "source": agg["source"],
+        "partition_id": parts.astype(np.int64),
+        "load": agg["load"],
+    })
+
+
+def partition_plan_ldg(sf_dir: str):
+    return _partition_plan(sf_dir, "ldg")
+
+
+def partition_plan_fennel(sf_dir: str):
+    return _partition_plan(sf_dir, "fennel")
+
+
+def partition_plan_hash(sf_dir: str):
+    return _partition_plan(sf_dir, "hash")
+
+
+def hdrf_user_event_graph(sf_dir: str):
+    """HDRF vertex-cut over the (user_id, event_type) bipartite edge stream
+    of the events table; returns per-edge partitions."""
+    from .partition import HDRFEdgePartitioner
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id", "event_type"])
+    df = ev.to_pandas().sort_values("event_id")  # stream order = event order
+    h = HDRFEdgePartitioner(k=8, seed=42)
+    parts = h.assign_edges([f"u{u}" for u in df["user_id"]],
+                           df["event_type"].tolist())
+    return pd.DataFrame({
+        "event_id": df["event_id"].to_numpy(),
+        "partition_id": parts.astype(np.int64),
+    })
+
+
+def minhash_lsh_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs at tau=0.95 (b=32, r=4 -> recall ~1-3e-24;
+    empirically identical to the exact-Jaccard oracle on this data)."""
+    from .dedup import minhash_lsh_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_pipeline(ds, n_perm=128, bands=32,
+                               jaccard_threshold=0.95).to_pandas()
+    return out[["doc_a", "doc_b", "jaccard"]]
+
+
+def simhash_pairs(sf_dir: str):
+    from .dedup import simhash_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_pipeline(ds, hamming_threshold=3).to_pandas()
+    return out
+
+
+def langid_preds(sf_dir: str):
+    import ray
+
+    from .text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return ds.map_batches(LangId, batch_format="pandas",
+                          concurrency=max(2, ncpu // 2))
+
+
+def winnow_fps(sf_dir: str):
+    import ray
+
+    from .text import Winnower
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return ds.map_batches(Winnower, batch_format="pandas",
+                          concurrency=max(2, ncpu // 2))
+
+
+def lsh_ann_topk(sf_dir: str):
+    """Approximate ANN (hyperplane LSH buckets); recall vs brute force is
+    asserted in pytest, not against SQL."""
+    from .ann import lsh_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qt = emb.filter(pc.less(emb["vec_id"], pa.scalar(5)))
+    queries = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = lsh_topk(ds, queries, qids, k=10).to_pandas()
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def media_features_fake(sf_dir: str):
+    from .multimodal import media_features, synthesize_media_dataset
+
+    ds = synthesize_media_dataset(sf_dir)
+    feats = media_features(ds, mode="fake")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        f = t["features"]
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        m = f.flatten().to_numpy(zero_copy_only=False).reshape(len(t), -1)
+        return pa.Table.from_pydict({
+            "media_id": t["media_id"],
+            "media_type": t["media_type"],
+            "feat_argmax": m.argmax(axis=1).astype(np.int64),
+        })
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+def video_frame_sample(sf_dir: str):
+    from .multimodal import frame_sample, synthesize_media_dataset
+
+    ds = synthesize_media_dataset(sf_dir)
+    frames = frame_sample(ds, every_n=64)
+
+    def meta(t: pa.Table) -> pa.Table:
+        fb = t["frame_bytes"]
+        if isinstance(fb, pa.ChunkedArray):
+            fb = fb.combine_chunks()
+        return pa.Table.from_pydict({
+            "media_id": t["media_id"],
+            "frame_idx": t["frame_idx"],
+            "frame_len": pa.array([len(b) for b in fb.to_pylist()], pa.int64()),
+        })
+
+    return frames.map_batches(meta, batch_format="pyarrow")
+
+
+# ===================================================================
+# registry
+# ===================================================================
+
+EXACT_QUERIES = {
+    "q1_lineitem_pricing": (q1_lineitem_pricing, Q1_SQL),
+    "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "user_event_stats": (user_event_stats, USER_EVENT_STATS_SQL),
+    "parts_by_brand": (parts_by_brand, PARTS_BY_BRAND_SQL),
+    "lineitem_shipped_revenue": (lineitem_shipped_revenue, LINEITEM_SHIPPED_SQL),
+    "doc_word_stats": (doc_word_stats, DOC_WORD_STATS_SQL),
+    "distinct_tokens_per_source": (distinct_tokens_per_source, DISTINCT_PER_SOURCE_SQL),
+    "global_distinct_tokens": (global_distinct_tokens, GLOBAL_DISTINCT_SQL),
+    "topk_tokens": (topk_tokens, TOPK_TOKENS_SQL),
+    "ntok_quantiles": (ntok_quantiles, NTOK_QUANTILES_SQL),
+    "regex_tokens_by_source": (regex_tokens_by_source, REGEX_TOKENS_SQL),
+    "md5_fingerprints": (md5_fingerprints, MD5_SQL),
+    "quality_scores": (quality_scores, QUALITY_SQL),
+    "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "jaccard_dup_pairs": (jaccard_dup_pairs, JACCARD_PAIRS_SQL),
+    "embedding_label_norms": (embedding_label_norms, EMB_NORMS_SQL),
+    "ann_topk": (ann_topk, ANN_TOPK_SQL),
+    "cosine_neardup": (cosine_neardup, COSINE_NEARDUP_SQL),
+    "media_meta": (media_meta, MEDIA_META_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs, JACCARD_PAIRS_SQL),
+}
+
+ROWS_ONLY_QUERIES = {
+    "sketch_estimates": sketch_estimates,
+    "hll_distinct_per_source": hll_distinct_per_source,
+    "cms_heavy_hitters": cms_heavy_hitters,
+    "kll_ntok_quantiles": kll_ntok_quantiles,
+    "tdigest_ntok_quantiles": tdigest_ntok_quantiles,
+    "bloom_stats": bloom_stats,
+    "partition_plan_ldg": partition_plan_ldg,
+    "partition_plan_fennel": partition_plan_fennel,
+    "partition_plan_hash": partition_plan_hash,
+    "hdrf_user_event_graph": hdrf_user_event_graph,
+    "simhash_pairs": simhash_pairs,
+    "langid_preds": langid_preds,
+    "winnow_fps": winnow_fps,
+    "lsh_ann_topk": lsh_ann_topk,
+    "media_features_fake": media_features_fake,
+    "video_frame_sample": video_frame_sample,
+}
+
+
+def all_queries():
+    out = {name: fn for name, (fn, _) in EXACT_QUERIES.items()}
+    out.update(ROWS_ONLY_QUERIES)
+    return out
+
+
+def all_oracles():
+    return {name: sql for name, (_, sql) in EXACT_QUERIES.items()}

@@ -1,0 +1,169 @@
+"""Text analysis stages: language-ID, quality scoring, token counting,
+document fingerprinting — the training-data-pipeline operators layered on
+the same tokens/documents tables.
+
+All per-batch bodies are vectorized (pandas str kernels / numpy); regexes
+and stopword tables are compiled once per actor in ``__init__`` (actor-pool
+pattern, SURVEY.md §7.2)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from .hashing import hash_str
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "for", "on"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"},
+    "es": {"el", "la", "los", "y", "de", "un", "una", "es", "por", "con"},
+    "zh": {"的", "是", "在", "了", "和", "有", "我", "不", "这", "个"},
+}
+
+STOPWORDS = LANG_PROFILES["en"]
+
+# BPE-ish token pattern: words / numbers / single punctuation
+TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+class LangId:
+    """Stopword-profile language-ID heuristic (actor-pool stage).
+
+    Scores each doc by per-language stopword hit counts over whitespace
+    words; falls back to 'en' when no profile matches. Deterministic.
+    """
+
+    def __init__(self):
+        self.profiles = {lang: frozenset(ws) for lang, ws in LANG_PROFILES.items()}
+        self.langs = sorted(self.profiles)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.lower().str.split(" ")
+        scores = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            prof = self.profiles[lang]
+            scores[:, j] = words.map(lambda ws: sum(w in prof for w in ws)).to_numpy()
+        best = scores.argmax(axis=1)
+        no_hit = scores.max(axis=1) == 0
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[no_hit] = "en"
+        out = batch[["doc_id"]].copy()
+        out["pred_lang"] = pred
+        return out
+
+
+def quality_features(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc quality features + a composite score.
+
+    The score formula is pure arithmetic over counts so the DuckDB oracle
+    can reproduce it exactly (rounded):
+      n_words   = len(string_split(text,' '))
+      stop_hits = words in the English stoplist
+      score     = 0.4*min(1, n_words/100) + 0.3*(1 - stop_hits/n_words)
+                  + 0.3*min(1, n_chars/500)
+    """
+    words = batch["text"].str.split(" ")
+    n_words = words.str.len().astype("int64")
+    stop = STOPWORDS
+    stop_hits = words.map(lambda ws: sum(w in stop for w in ws)).astype("int64")
+    n_chars = batch["text"].str.len().astype("int64")
+    score = (
+        0.4 * np.minimum(1.0, n_words / 100.0)
+        + 0.3 * (1.0 - stop_hits / np.maximum(n_words, 1))
+        + 0.3 * np.minimum(1.0, n_chars / 500.0)
+    )
+    # half-up fixed-point micro-units: deterministic across engines (numpy
+    # round() is banker's, SQL round() is half-away — both drift on ties)
+    quality_e6 = np.floor(score * 1_000_000 + 0.5).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": n_words,
+            "stop_hits": stop_hits,
+            "quality_e6": quality_e6,
+        }
+    )
+
+
+class TokenCounter:
+    """Regex token counting (BPE-ish pattern compiled once per actor).
+
+    DuckDB parity: ``len(regexp_extract_all(text, pattern))``.
+    """
+
+    def __init__(self, pattern: str = TOKEN_PATTERN):
+        import re
+
+        self.pattern = re.compile(pattern)
+        self.raw = pattern
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id", "source"]].copy()
+        out["n_regex_tokens"] = batch["text"].str.count(self.raw).astype("int64")
+        return out
+
+
+def md5_fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
+    """Content fingerprint (md5 hex — DuckDB ``md5(text)`` parity)."""
+    out = batch[["doc_id"]].copy()
+    out["fingerprint"] = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
+    ]
+    return out
+
+
+def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> list[int]:
+    """Winnowing (Schleimer et al. 2003): rolling FNV over k-grams, per-window
+    minimum; returns the sorted distinct fingerprint set. Deterministic."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = len(data)
+    if n < k:
+        return []
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    grams = sliding_window_view(data, k).astype(np.uint64)  # (n-k+1, k)
+    with np.errstate(over="ignore"):
+        hs = np.full(len(grams), 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for j in range(k):  # k vectorized passes, not a per-byte Python loop
+            hs = (hs ^ grams[:, j]) * prime
+    if len(hs) <= w:
+        return sorted({int(hs.min())})
+    mins = sliding_window_view(hs, w).min(axis=1)
+    return sorted({int(x) for x in mins.tolist()})
+
+
+class Winnower:
+    """Actor-pool stage emitting winnowing fingerprints per document."""
+
+    def __init__(self, k: int = 5, w: int = 4):
+        self.k = k
+        self.w = w
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id"]].copy()
+        fps = [winnow_fingerprints(t, self.k, self.w) for t in batch["text"]]
+        out["n_fingerprints"] = [len(f) for f in fps]
+        out["fp_min"] = [min(f) if f else 0 for f in fps]
+        out["fp_xor"] = [int(np.bitwise_xor.reduce(np.array(f, dtype=np.uint64)))
+                         if f else 0 for f in fps]
+        return out
+
+
+def simhash64(words_per_doc: list[list[str]], counts=None) -> np.ndarray:
+    """64-bit SimHash per document over word multisets, vectorized."""
+    out = np.empty(len(words_per_doc), dtype=np.uint64)
+    for i, ws in enumerate(words_per_doc):
+        if not ws:
+            out[i] = 0
+            continue
+        h = hash_str(np.array(ws, dtype=object))
+        bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        votes = bits.astype(np.int64).sum(axis=0) * 2 - len(ws)
+        sign = (votes > 0).astype(np.uint8)
+        out[i] = np.packbits(sign, bitorder="little").view(np.uint64)[0]
+    return out
