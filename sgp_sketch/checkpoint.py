@@ -1,0 +1,189 @@
+"""Per-partition sketch checkpoints with lineage + resume.
+
+The reference has no checkpointing — failed multi-hour loads are simply
+redone (README.md:305); its only resumable artifact is the
+``vertex,partition`` CSV (EdgeCutSGP.java:247-263). The north rule makes
+resume a first-class requirement, so the pipeline persists:
+
+- ``plan.json``      — the greedy salted source->partition map + loads
+  (the partition-map artifact, reused verbatim on resume so assignment
+  never drifts between attempts);
+- ``part=<pid>/sketches.parquet`` — that partition's merged sketch rows
+  (every scope's contribution from exactly the rows routed to pid — the
+  updater keys partials row-deterministically, so partition checkpoints
+  are disjoint and exact);
+- ``manifest.json``  — lineage per completed partition: input files,
+  row/token counts, wall time, completion timestamp.
+
+Resume = load plan + manifest, skip completed partitions (their rows are
+dropped inside the updater actors — no wasted sketching), recompute the
+rest, final-merge checkpointed + fresh rows. Estimates are byte-identical
+to a single-shot run because every sketch merge is associative.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .pipeline import (
+    PARTIAL_SCHEMA,
+    SCOPE_GLOBAL,
+    DEFAULT_SPECS,
+    SketchResult,
+    SketchSpec,
+    SketchUpdater,
+    merge_partial_group,
+    plan_partitions,
+)
+from .sketches import sketch_from_bytes
+
+
+def _plan_path(d):
+    return os.path.join(d, "plan.json")
+
+
+def _manifest_path(d):
+    return os.path.join(d, "manifest.json")
+
+
+def _part_dir(d, pid):
+    return os.path.join(d, f"part={pid}")
+
+
+def load_or_create_plan(ds, ckpt_dir: str, k: int) -> dict:
+    """Greedy plan, persisted once; resume always reuses the stored plan."""
+    path = _plan_path(ckpt_dir)
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = json.load(f)
+        if stored["k"] != k:
+            raise ValueError(f"checkpoint plan has k={stored['k']}, requested {k}")
+        return {s: np.asarray(p, dtype=np.int32) for s, p in stored["amap"].items()}
+    amap, sizes, agg = plan_partitions(ds.select_columns(["source", "n_tok"]), k)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "k": k,
+                "amap": {s: [int(x) for x in p] for s, p in amap.items()},
+                "partition_loads": sizes.tolist(),
+                "source_loads": dict(zip(agg["source"], agg["sum(load)"].astype(int))),
+            },
+            f,
+        )
+    os.replace(tmp, path)  # atomic publish
+    return amap
+
+
+def _load_manifest(ckpt_dir: str) -> dict:
+    path = _manifest_path(ckpt_dir)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"partitions": {}}
+
+
+def _store_manifest(ckpt_dir: str, manifest: dict) -> None:
+    tmp = _manifest_path(ckpt_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _manifest_path(ckpt_dir))
+
+
+def run_checkpointed(
+    ds,
+    ckpt_dir: str,
+    specs: list[SketchSpec] | None = None,
+    *,
+    k: int = 16,
+    batch_size: int = 8192,
+    concurrency=None,
+    input_files: list[str] | None = None,
+) -> SketchResult:
+    """Sketch pipeline with per-partition checkpoints; safe to re-run after
+    a crash — completed partitions are skipped, estimates are identical."""
+    import ray
+
+    specs = specs if specs is not None else DEFAULT_SPECS
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, ncpu - 2)
+
+    t0 = time.perf_counter()
+    amap = load_or_create_plan(ds, ckpt_dir, k)
+    manifest = _load_manifest(ckpt_dir)
+    done = frozenset(int(p) for p in manifest["partitions"])
+    metrics = {"k": k, "resumed_partitions": sorted(done)}
+
+    checkpointed_rows: list[dict] = []
+    for pid in done:
+        t = pq.read_table(os.path.join(_part_dir(ckpt_dir, pid), "sketches.parquet"))
+        checkpointed_rows.extend(t.to_pylist())
+
+    fresh_rows: list[dict] = []
+    if len(done) < k:
+        amap_ref = ray.put(amap)
+        partials = ds.map_batches(
+            SketchUpdater,
+            fn_constructor_args=(specs, k, amap_ref, done),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        stage1 = partials.groupby("partition_id").map_groups(
+            merge_partial_group, batch_format="pyarrow"
+        )
+        fresh_rows = stage1.take_all()
+
+        # checkpoint each freshly completed partition atomically
+        by_pid: dict[int, list[dict]] = {}
+        for row in fresh_rows:
+            by_pid.setdefault(int(row["partition_id"]), []).append(row)
+        for pid, rows in sorted(by_pid.items()):
+            pdir = _part_dir(ckpt_dir, pid)
+            os.makedirs(pdir, exist_ok=True)
+            table = pa.Table.from_pylist(rows, schema=PARTIAL_SCHEMA)
+            tmp = os.path.join(pdir, ".sketches.parquet.tmp")
+            pq.write_table(table, tmp)
+            os.replace(tmp, os.path.join(pdir, "sketches.parquet"))
+            manifest["partitions"][str(pid)] = {
+                "n_rows": int(sum(r["n_rows"] for r in rows
+                                  if r["scope"] == SCOPE_GLOBAL)),
+                "n_tokens": int(sum(r["n_tokens"] for r in rows
+                                    if r["scope"] == SCOPE_GLOBAL)),
+                "n_scopes": len({r["scope"] for r in rows}),
+                "input_files": input_files or [],
+                "completed_at_sec": round(time.perf_counter() - t0, 3),
+            }
+            _store_manifest(ckpt_dir, manifest)
+
+    # final merge: checkpointed + fresh (tiny, driver-side)
+    acc: dict[tuple, list] = {}
+    for row in checkpointed_rows + fresh_rows:
+        key = (row["scope"], row["kind"])
+        sk = sketch_from_bytes(row["payload"])
+        slot = acc.get(key)
+        if slot is None:
+            acc[key] = [sk, row["n_rows"], row["n_tokens"]]
+        else:
+            slot[0] = slot[0].merge(sk)
+            slot[1] += row["n_rows"]
+            slot[2] += row["n_tokens"]
+
+    sketches = {key: v[0] for key, v in acc.items()}
+    counts = {key: (v[1], v[2]) for key, v in acc.items()}
+    gkey = (SCOPE_GLOBAL, specs[0].kind)
+    if gkey in counts:
+        metrics["n_rows"], metrics["n_tokens"] = counts[gkey]
+    metrics["total_sec"] = time.perf_counter() - t0
+    metrics["fresh_partitions"] = sorted(
+        {int(r["partition_id"]) for r in fresh_rows}
+    )
+    return SketchResult(sketches, counts, metrics)

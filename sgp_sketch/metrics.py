@@ -1,0 +1,47 @@
+"""Run metrics: throughput, imbalance percentiles, stage timings.
+
+Mirrors the reference's metric definitions so results are comparable:
+- imbalance = max(load)/mean(load) (log_parser.py:133-138);
+- percentiles [0,25,50,75,100] over per-partition loads (ldb c_run.py:129-133
+  pattern);
+- tokens/sec per stage from wall clock + the counts carried on partial rows
+  (the Ray-native replacement for the reference's per-second AtomicLong
+  reporter, ADJParser.groovy:142-149).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def imbalance_report(loads) -> dict:
+    loads = np.asarray(loads, dtype=np.float64)
+    if len(loads) == 0 or loads.sum() == 0:
+        return {"imbalance": 0.0, "percentiles": [0, 0, 0, 0, 0]}
+    return {
+        "imbalance": float(loads.max() / loads.mean()),
+        "percentiles": [float(x) for x in
+                        np.percentile(loads, [0, 25, 50, 75, 100])],
+        "total": float(loads.sum()),
+    }
+
+
+def throughput_report(n_rows: int, n_tokens: int, wall_sec: float) -> dict:
+    return {
+        "n_rows": int(n_rows),
+        "n_tokens": int(n_tokens),
+        "wall_sec": float(wall_sec),
+        "rows_per_sec": n_rows / wall_sec if wall_sec else 0.0,
+        "tokens_per_sec": n_tokens / wall_sec if wall_sec else 0.0,
+    }
+
+
+def write_metrics(path: str, payload: dict) -> None:
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, default=str)
+    os.replace(tmp, path)

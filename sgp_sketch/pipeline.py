@@ -108,71 +108,129 @@ class SketchUpdater:
     stable argsort, token slices per source are contiguous gathers.
     """
 
-    def __init__(self, specs: list[SketchSpec], k: int, amap_ref=None):
+    def __init__(self, specs: list[SketchSpec], k: int, amap_ref=None,
+                 skip_partitions: frozenset | None = None):
         self.specs = specs
         self.k = k
+        self.skip = skip_partitions or frozenset()
         if amap_ref is not None:
             import ray
 
             self.amap = ray.get(amap_ref)
         else:
             self.amap = None
-        self._block = 0  # per-actor counter: spreads global/salted partials
 
-    def _partition_of(self, source: str) -> int:
-        if self.amap is None:
-            h = int(hash_str(np.array([source], dtype=object))[0])
-            return h % self.k
-        parts = self.amap.get(source)
-        if parts is None:  # unseen source (e.g. resumed run on grown input)
-            h = int(hash_str(np.array([source], dtype=object))[0])
-            return h % self.k
-        return int(parts[self._block % len(parts)])
+    def _source_partitions(self, source: str):
+        """Partition id array for a source (len > 1 = salted shards)."""
+        if self.amap is not None:
+            parts = self.amap.get(source)
+            if parts is not None:
+                return np.asarray(parts, dtype=np.int64)
+        h = int(hash_str(np.array([source], dtype=object))[0])
+        return np.array([h % self.k], dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, lens, n_tok, codes, sources = _batch_arrays(batch)
-        self._block += 1
+        # doc_ids only materialize when a salted source needs row-level shards
+        doc_ids = None
+        if self.amap is not None and any(
+            len(self.amap.get(s, ())) > 1 for s in sources
+        ):
+            doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
         out = {name: [] for name in ("scope", "kind", "partition_id", "payload",
                                      "n_rows", "n_tokens")}
 
         def emit(scope, kind, pid, sk, n_rows, n_tokens):
             out["scope"].append(scope)
             out["kind"].append(kind)
-            out["partition_id"].append(pid)
+            out["partition_id"].append(int(pid))
             out["payload"].append(sk.to_bytes())
-            out["n_rows"].append(n_rows)
-            out["n_tokens"].append(n_tokens)
+            out["n_rows"].append(int(n_rows))
+            out["n_tokens"].append(int(n_tokens))
 
-        total_rows = len(n_tok)
-        total_tokens = int(lens.sum())
-        gpid = self._block % self.k
-
-        # global-scope partials over the whole batch
-        for spec in self.specs:
-            if not spec.global_scope:
-                continue
-            sk = spec.make()
-            sk.update(flat if spec.value == "tokens" else n_tok)
-            emit(SCOPE_GLOBAL, spec.kind, gpid, sk, total_rows, total_tokens)
+        # ---- row-level partition ids: pid(source) or, when salted,
+        # pid(source)[hash(doc_id) % shards] — deterministic per ROW, so a
+        # resumed run recomputes exactly the rows of incomplete partitions
+        pid_rows = np.empty(len(n_tok), dtype=np.int64)
+        row_order = np.argsort(codes, kind="stable")
+        row_bounds = np.searchsorted(codes[row_order], np.arange(len(sources) + 1))
+        salted: dict[int, np.ndarray] = {}
+        for si, source in enumerate(sources):
+            rows = row_order[row_bounds[si]:row_bounds[si + 1]]
+            parts = self._source_partitions(source)
+            if len(parts) == 1:
+                pid_rows[rows] = parts[0]
+            else:
+                shard = hash_str(doc_ids[rows]) % np.uint64(len(parts))
+                pid_rows[rows] = parts[shard.astype(np.int64)]
+                salted[si] = rows
 
         per_source = [s for s in self.specs if s.per_source]
-        if per_source and len(sources) > 0:
-            # group rows by source: one stable argsort, contiguous slices
-            row_order = np.argsort(codes, kind="stable")
-            row_bounds = np.searchsorted(codes[row_order], np.arange(len(sources) + 1))
-            # group tokens by source: repeat codes per token, same trick
+        global_specs = [s for s in self.specs if s.global_scope]
+
+        # ---- per-source partials (sub-grouped by pid only when salted)
+        if per_source:
             tok_codes = np.repeat(codes, lens)
             tok_order = np.argsort(tok_codes, kind="stable")
             tok_sorted = flat[tok_order]
-            tok_bounds = np.searchsorted(tok_codes[tok_order], np.arange(len(sources) + 1))
+            tok_bounds = np.searchsorted(tok_codes[tok_order],
+                                         np.arange(len(sources) + 1))
             for si, source in enumerate(sources):
                 rows = row_order[row_bounds[si]:row_bounds[si + 1]]
                 toks = tok_sorted[tok_bounds[si]:tok_bounds[si + 1]]
-                pid = self._partition_of(source)
-                for spec in per_source:
+                if si not in salted:
+                    pid = pid_rows[rows[0]] if len(rows) else 0
+                    if pid in self.skip:
+                        continue
+                    for spec in per_source:
+                        sk = spec.make()
+                        sk.update(toks if spec.value == "tokens" else n_tok[rows])
+                        emit(f"src:{source}", spec.kind, pid, sk, len(rows), len(toks))
+                else:
+                    # shard the source's rows/tokens by their row pid
+                    rpids = pid_rows[rows]
+                    order2 = np.argsort(rpids, kind="stable")
+                    rows2 = rows[order2]
+                    tpids = np.repeat(rpids, lens[rows])
+                    torder2 = np.argsort(tpids, kind="stable")
+                    toks2 = toks[torder2]
+                    upids = np.unique(rpids)
+                    rb = np.searchsorted(rpids[order2], upids)
+                    rb = np.append(rb, len(rows2))
+                    tb = np.searchsorted(tpids[torder2], upids)
+                    tb = np.append(tb, len(toks2))
+                    for j, pid in enumerate(upids):
+                        if pid in self.skip:
+                            continue
+                        rsl = rows2[rb[j]:rb[j + 1]]
+                        tsl = toks2[tb[j]:tb[j + 1]]
+                        for spec in per_source:
+                            sk = spec.make()
+                            sk.update(tsl if spec.value == "tokens" else n_tok[rsl])
+                            emit(f"src:{source}", spec.kind, pid, sk,
+                                 len(rsl), len(tsl))
+
+        # ---- global-scope partials, one per partition present in the batch
+        # (keeps every partition checkpoint self-contained for resume)
+        if global_specs:
+            gorder = np.argsort(pid_rows, kind="stable")
+            gpids = np.unique(pid_rows)
+            gb = np.searchsorted(pid_rows[gorder], gpids)
+            gb = np.append(gb, len(pid_rows))
+            tok_gpids = np.repeat(pid_rows, lens)
+            tgorder = np.argsort(tok_gpids, kind="stable")
+            tok_gsorted = flat[tgorder]
+            tgb = np.searchsorted(tok_gpids[tgorder], gpids)
+            tgb = np.append(tgb, len(tok_gsorted))
+            for j, pid in enumerate(gpids):
+                if pid in self.skip:
+                    continue
+                rsl = gorder[gb[j]:gb[j + 1]]
+                tsl = tok_gsorted[tgb[j]:tgb[j + 1]]
+                for spec in global_specs:
                     sk = spec.make()
-                    sk.update(toks if spec.value == "tokens" else n_tok[rows])
-                    emit(f"src:{source}", spec.kind, pid, sk, len(rows), len(toks))
+                    sk.update(tsl if spec.value == "tokens" else n_tok[rsl])
+                    emit(SCOPE_GLOBAL, spec.kind, pid, sk, len(rsl), len(tsl))
 
         return pa.Table.from_pydict(out, schema=PARTIAL_SCHEMA)
 
