@@ -1,0 +1,151 @@
+"""Benchmark driver: headline sketch-build throughput + per-query timings.
+
+Plain run: one JSON line
+  {"metric": "sketch_build_wall_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "tokens_per_sec": ..., ...}
+
+--scaling: runs the headline twice in FRESH processes (num_cpus=8 then 32
+— the sandbox stand-in for N- vs 4N-node clusters per the driver
+instruction) on the same input and reports both throughputs + scaling
+efficiency; also appended to BASELINE.md by scripts/record_baseline.py.
+
+The headline corpus is a deterministic synthetic tokens table
+(Zipf-skewed sources, heavy-tailed lengths — schema.generate_tokens_parquet)
+sized so the run is compute-bound, cached under /tmp across invocations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_DIR = os.environ.get("SGP_BENCH_CORPUS", "/tmp/sgp_bench_corpus")
+CORPUS_DOCS = int(os.environ.get("SGP_BENCH_DOCS", "200000"))
+
+BENCH_QUERIES = [
+    "q1_lineitem_pricing",
+    "events_hourly",
+    "topk_tokens",
+    "distinct_tokens_per_source",
+    "ntok_quantiles",
+    "minhash_lsh_pairs",
+    "ann_topk",
+    "sketch_estimates",
+]
+
+
+def _consume(res):
+    """Force full execution of a query result."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    total = 0
+    for b in res.iter_batches(batch_format="pyarrow"):
+        total += b.num_rows
+    return total
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from sgp_sketch.pipeline import build_sketches
+    from sgp_sketch.schema import generate_tokens_parquet
+
+    import ray.data as rd
+
+    # ---- headline: sketch build over the synthetic skewed corpus
+    # small shards -> enough read/update tasks to fill the actor pool
+    files = generate_tokens_parquet(CORPUS_DIR, CORPUS_DOCS, seed=42,
+                                    rows_per_file=10_000)
+    # warm the page cache so we measure compute + shuffle, not first-read I/O
+    ds_warm = rd.read_parquet(files, columns=["source", "n_tok"])
+    ds_warm.count()
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(files)
+    res = build_sketches(ds, k=16, batch_size=8192)
+    headline_sec = time.perf_counter() - t0
+
+    out = {
+        "metric": "sketch_build_wall_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_docs": CORPUS_DOCS,
+        "n_tokens": res.metrics.get("n_tokens"),
+        "tokens_per_sec": round(res.metrics.get("tokens_per_sec", 0.0)),
+        "build_sec": round(res.metrics.get("build_sec", 0.0), 3),
+        "plan_sec": round(res.metrics.get("plan_sec", 0.0), 3),
+        "planned_imbalance": round(res.metrics.get("planned_imbalance", 0.0), 4),
+        "queries": {},
+    }
+
+    # ---- per-query timings over the driver testdata
+    from sgp_sketch.queries import all_queries
+
+    qs = all_queries()
+    for name in BENCH_QUERIES:
+        t = time.perf_counter()
+        _consume(qs[name](SF_DIR))
+        out["queries"][name] = round(time.perf_counter() - t, 3)
+
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same headline at 8 and 32 CPUs in fresh interpreters."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   SGP_BENCH_SKIP_QUERIES="1")
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        if proc.returncode != 0:
+            print(proc.stdout)
+            print(proc.stderr, file=sys.stderr)
+            raise SystemExit(f"bench at {ncpu} cpus failed")
+        results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8 = results[8]["build_sec"] or results[8]["value"]
+    t32 = results[32]["build_sec"] or results[32]["value"]
+    tput8 = results[8]["tokens_per_sec"]
+    tput32 = results[32]["tokens_per_sec"]
+    eff = (tput32 / tput8) / (32 / 8) if tput8 else 0.0
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "num_cpus_lo": 8,
+        "num_cpus_hi": 32,
+        "build_sec_8": t8,
+        "build_sec_32": t32,
+        "tokens_per_sec_8": tput8,
+        "tokens_per_sec_32": tput32,
+        "corpus_docs": results[32]["corpus_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        if os.environ.get("SGP_BENCH_SKIP_QUERIES"):
+            BENCH_QUERIES = []
+        print(json.dumps(run_bench()))

@@ -56,6 +56,53 @@ def exact_dedup(ds, col: str = "text"):
     return hashed.groupby("content_hash").map_groups(_survivor, batch_format="pandas")
 
 
+_DEDUP_BUCKETS = 64
+
+
+def dedup_pairs(cand, extra_col: str | None = None):
+    """Distinct (doc_a, doc_b) pairs via bucketed shuffle + vectorized dedup.
+
+    Group-per-pair operations (``groupby([a, b])`` with thousands of
+    single-row groups) cost ~10ms of per-group overhead in a Ray aggregate;
+    instead the pair packs into one int64, shuffles by ``pair % 64`` (a
+    SMALL, fixed group count), and each bucket dedups with one pandas
+    ``drop_duplicates`` — the explicit partitioned-dedup pattern.
+    """
+
+    def _pack(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"pair": pd.Series([], dtype="int64"),
+                                 "extra": pd.Series([], dtype="int64"),
+                                 "bucket": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({
+            "pair": batch["doc_a"].astype("int64") * (1 << 31)
+            + batch["doc_b"].astype("int64"),
+        })
+        out["extra"] = batch[extra_col].astype("int64") if extra_col else 0
+        out["bucket"] = out["pair"] % _DEDUP_BUCKETS
+        return out.drop_duplicates("pair")  # in-batch combiner
+
+    packed = cand.map_batches(_pack, batch_format="pandas")
+
+    def _dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("pair")
+
+    distinct = packed.groupby("bucket").map_groups(_dedup_bucket,
+                                                   batch_format="pandas")
+
+    def _unpack(batch: pd.DataFrame) -> pd.DataFrame:
+        pair = batch["pair"].astype("int64")
+        out = pd.DataFrame({
+            "doc_a": (pair // (1 << 31)).astype("int64"),
+            "doc_b": (pair % (1 << 31)).astype("int64"),
+        })
+        if extra_col:
+            out[extra_col] = batch["extra"].astype("int64")
+        return out
+
+    return distinct.map_batches(_unpack, batch_format="pandas")
+
+
 # ------------------------------------------------------------------ MinHash
 
 
@@ -112,33 +159,28 @@ def minhash_lsh_pipeline(
     a, b = minhash_params(n_perm, seed)
     rows = n_perm // bands
 
-    class Signer:
-        def __init__(self):
-            self.a, self.b = a, b
+    # stateless task (closure over the tiny perm params): a standing actor
+    # pool here would reserve CPUs and can starve the downstream task-pool
+    # operators on small sessions (two actor pools at 4 CPUs deadlock)
+    def signer(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch[text_col].str.split(" ").tolist()
+        sig = minhash_signatures(words, a, b)
+        band_hash = np.empty((len(batch), bands), dtype=np.uint64)
+        for bi in range(bands):
+            seg = sig[:, bi * rows:(bi + 1) * rows]
+            h = seg[:, 0].copy()
+            for r in range(1, rows):
+                h = splitmix64(h ^ seg[:, r])
+            band_hash[:, bi] = h
+        return pd.DataFrame(
+            {
+                doc_col: np.repeat(batch[doc_col].to_numpy(), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), len(batch)),
+                "bucket": band_hash.reshape(-1).astype("uint64"),
+            }
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            words = batch[text_col].str.split(" ").tolist()
-            sig = minhash_signatures(words, self.a, self.b)
-            band_hash = np.empty((len(batch), bands), dtype=np.uint64)
-            for bi in range(bands):
-                seg = sig[:, bi * rows:(bi + 1) * rows]
-                h = seg[:, 0].copy()
-                for r in range(1, rows):
-                    h = splitmix64(h ^ seg[:, r])
-                band_hash[:, bi] = h
-            out = pd.DataFrame(
-                {
-                    doc_col: np.repeat(batch[doc_col].to_numpy(), bands),
-                    "band": np.tile(np.arange(bands, dtype=np.int32), len(batch)),
-                    "bucket": band_hash.reshape(-1).astype("uint64"),
-                }
-            )
-            return out
-
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    buckets = ds.map_batches(
-        Signer, batch_format="pandas", concurrency=max(2, ncpu // 2)
-    )
+    buckets = ds.map_batches(signer, batch_format="pandas")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[doc_col].to_numpy())
@@ -148,14 +190,7 @@ def minhash_lsh_pipeline(
         return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
 
     cand = buckets.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
-
-    def _dedup_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.drop_duplicates()
-
-    cand = cand.map_batches(_dedup_pairs, batch_format="pandas")
-    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    cand = dedup_pairs(cand)
 
     # exact verification: broadcast doc -> word-hash set (correctness-scale
     # only; at data scale replace with a repartition join keyed by doc_id)
@@ -165,24 +200,21 @@ def minhash_lsh_pipeline(
             word_sets[did] = np.unique(hash_str(np.array(txt.split(" "), dtype=object)))
     ref = ray.put(word_sets)
 
-    class Verify:
-        def __init__(self):
-            self.sets = ray.get(ref)
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        sets = ray.get(ref)  # worker-local plasma read, effectively cached
+        jac = np.empty(len(batch), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
+            sa, sb = sets[x], sets[y]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            jac[i] = inter / (len(sa) + len(sb) - inter)
+        out = batch.copy()
+        keep = jac >= jaccard_threshold  # filter on RAW values (SQL parity)
+        out["jaccard"] = jac.round(6)
+        return out[keep]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if len(batch) == 0:
-                return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-            jac = np.empty(len(batch), dtype=np.float64)
-            for i, (x, y) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
-                sa, sb = self.sets[x], self.sets[y]
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                jac[i] = inter / (len(sa) + len(sb) - inter)
-            out = batch.copy()
-            keep = jac >= jaccard_threshold  # filter on RAW values (SQL parity)
-            out["jaccard"] = jac.round(6)
-            return out[keep]
-
-    return cand.map_batches(Verify, batch_format="pandas", concurrency=2)
+    return cand.map_batches(verify, batch_format="pandas")
 
 
 def jaccard_pairs_exact(
@@ -202,31 +234,25 @@ def jaccard_pairs_exact(
             word_sets[did] = np.unique(hash_str(np.array(txt.split(" "), dtype=object)))
     ref = ray.put(word_sets)
 
-    class AllPairs:
-        def __init__(self):
-            self.sets = ray.get(ref)
-            self.ids = sorted(self.sets)
+    def all_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        sets = ray.get(ref)
+        ids = sorted(sets)
+        rows_a, rows_b, jac = [], [], []
+        for did in batch[doc_col]:
+            sa = sets[did]
+            for other in ids:
+                if other <= did:
+                    continue
+                sb = sets[other]
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                j = inter / (len(sa) + len(sb) - inter)
+                if j >= threshold:
+                    rows_a.append(did)
+                    rows_b.append(other)
+                    jac.append(round(j, 6))
+        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "jaccard": jac})
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            rows_a, rows_b, jac = [], [], []
-            for did in batch[doc_col]:
-                sa = self.sets[did]
-                for other in self.ids:
-                    if other <= did:
-                        continue
-                    sb = self.sets[other]
-                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                    j = inter / (len(sa) + len(sb) - inter)
-                    if j >= threshold:
-                        rows_a.append(did)
-                        rows_b.append(other)
-                        jac.append(round(j, 6))
-            return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "jaccard": jac})
-
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    return ds.select_columns([doc_col]).map_batches(
-        AllPairs, batch_format="pandas", concurrency=max(2, ncpu // 2)
-    )
+    return ds.select_columns([doc_col]).map_batches(all_pairs, batch_format="pandas")
 
 
 # ------------------------------------------------------------------ SimHash
@@ -282,6 +308,4 @@ def simhash_pipeline(ds, *, hamming_threshold: int = 3,
                              "hamming": ham[keep]})
 
     pairs = chunked.groupby(["chunk_id", "chunk"]).map_groups(_pairs, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return dedup_pairs(pairs, extra_col="hamming")

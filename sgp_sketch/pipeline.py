@@ -75,7 +75,10 @@ class SketchSpec:
 
 DEFAULT_SPECS = [
     SketchSpec("hll", value="tokens"),
-    SketchSpec("cms", value="tokens"),
+    # width 4096 keeps dense partials at 160KB so the merge shuffle stays
+    # payload-light; eps = e/4096 ~ 0.07% of stream mass — far below any
+    # heavy hitter of interest
+    SketchSpec("cms", value="tokens", params={"width": 4096}),
     SketchSpec("kll", value="n_tok"),
     SketchSpec("tdigest", value="n_tok"),
     SketchSpec("bloom", value="tokens", per_source=False),
@@ -148,6 +151,24 @@ class SketchUpdater:
             out["n_rows"].append(int(n_rows))
             out["n_tokens"].append(int(n_tokens))
 
+        def update_scope(scope, pid, specs, uniq, ucnt, n_toks, row_vals, n_rows):
+            """Update all sketches of one scope slice from its pre-deduped
+            (unique token, count) arrays — the dedup sort ran ONCE for the
+            whole batch (combined-key run-length), not per sketch."""
+            for spec in specs:
+                sk = spec.make()
+                if spec.value == "tokens":
+                    if spec.kind == "cms":
+                        sk.update(uniq, weights=ucnt, assume_unique=True)
+                    elif spec.kind in ("hll", "bloom"):
+                        sk.update(uniq)
+                    else:  # rank sketch over token values: needs multiplicity
+                        sk.update(np.repeat(uniq, ucnt))
+                    emit(scope, spec.kind, pid, sk, n_rows, n_toks)
+                else:
+                    sk.update(row_vals)
+                    emit(scope, spec.kind, pid, sk, n_rows, n_toks)
+
         # ---- row-level partition ids: pid(source) or, when salted,
         # pid(source)[hash(doc_id) % shards] — deterministic per ROW, so a
         # resumed run recomputes exactly the rows of incomplete partitions
@@ -168,69 +189,77 @@ class SketchUpdater:
         per_source = [s for s in self.specs if s.per_source]
         global_specs = [s for s in self.specs if s.global_scope]
 
-        # ---- per-source partials (sub-grouped by pid only when salted)
-        if per_source:
-            tok_codes = np.repeat(codes, lens)
-            tok_order = np.argsort(tok_codes, kind="stable")
-            tok_sorted = flat[tok_order]
-            tok_bounds = np.searchsorted(tok_codes[tok_order],
-                                         np.arange(len(sources) + 1))
-            for si, source in enumerate(sources):
-                rows = row_order[row_bounds[si]:row_bounds[si + 1]]
-                toks = tok_sorted[tok_bounds[si]:tok_bounds[si + 1]]
-                if si not in salted:
-                    pid = pid_rows[rows[0]] if len(rows) else 0
-                    if pid in self.skip:
-                        continue
-                    for spec in per_source:
-                        sk = spec.make()
-                        sk.update(toks if spec.value == "tokens" else n_tok[rows])
-                        emit(f"src:{source}", spec.kind, pid, sk, len(rows), len(toks))
-                else:
-                    # shard the source's rows/tokens by their row pid
-                    rpids = pid_rows[rows]
-                    order2 = np.argsort(rpids, kind="stable")
-                    rows2 = rows[order2]
-                    tpids = np.repeat(rpids, lens[rows])
-                    torder2 = np.argsort(tpids, kind="stable")
-                    toks2 = toks[torder2]
-                    upids = np.unique(rpids)
-                    rb = np.searchsorted(rpids[order2], upids)
-                    rb = np.append(rb, len(rows2))
-                    tb = np.searchsorted(tpids[torder2], upids)
-                    tb = np.append(tb, len(toks2))
-                    for j, pid in enumerate(upids):
-                        if pid in self.skip:
-                            continue
-                        rsl = rows2[rb[j]:rb[j + 1]]
-                        tsl = toks2[tb[j]:tb[j + 1]]
-                        for spec in per_source:
-                            sk = spec.make()
-                            sk.update(tsl if spec.value == "tokens" else n_tok[rsl])
-                            emit(f"src:{source}", spec.kind, pid, sk,
-                                 len(rsl), len(tsl))
+        # ---- combined-key dedup: ONE sort of [pid | source | 31-bit token]
+        # over the whole batch is the only pass touching every token (the
+        # memory-bandwidth hot path). pid-major ordering serves BOTH scope
+        # families: contiguous (pid, source) runs feed the per-source
+        # sketches, and each pid's *deduped* run (vocab-sized, not
+        # token-count-sized) is re-deduped cheaply for the global scope.
+        n_src = max(len(sources), 1)
+        combo_of_row = pid_rows * n_src + codes  # pid-major
+        key = (np.repeat(combo_of_row.astype(np.uint64), lens)
+               << np.uint64(31)) | flat.astype(np.uint64)
+        key.sort()
+        edge = np.empty(len(key), dtype=bool)
+        if len(key):
+            edge[0] = True
+            np.not_equal(key[1:], key[:-1], out=edge[1:])
+        starts = np.flatnonzero(edge)
+        cnt = np.diff(np.append(starts, len(key)))
+        ukey = key[starts]
+        utok = (ukey & np.uint64(0x7FFFFFFF)).astype(np.int64)
+        ucombo = (ukey >> np.uint64(31)).astype(np.int64)
+        combos = np.unique(ucombo)
+        cbounds = np.searchsorted(ucombo, combos)
+        cbounds = np.append(cbounds, len(ucombo))
 
-        # ---- global-scope partials, one per partition present in the batch
-        # (keeps every partition checkpoint self-contained for resume)
-        if global_specs:
-            gorder = np.argsort(pid_rows, kind="stable")
-            gpids = np.unique(pid_rows)
-            gb = np.searchsorted(pid_rows[gorder], gpids)
-            gb = np.append(gb, len(pid_rows))
-            tok_gpids = np.repeat(pid_rows, lens)
-            tgorder = np.argsort(tok_gpids, kind="stable")
-            tok_gsorted = flat[tgorder]
-            tgb = np.searchsorted(tok_gpids[tgorder], gpids)
-            tgb = np.append(tgb, len(tok_gsorted))
-            for j, pid in enumerate(gpids):
+        # row-value grouping (n_tok per row), same combo key
+        rorder = np.argsort(combo_of_row, kind="stable")
+        rb = np.searchsorted(combo_of_row[rorder], combos)
+        rb = np.append(rb, len(combo_of_row))
+
+        # ---- per-source partials, keyed (source, pid)
+        if per_source:
+            for j, cid in enumerate(combos):
+                pid = int(cid) // n_src
                 if pid in self.skip:
                     continue
-                rsl = gorder[gb[j]:gb[j + 1]]
-                tsl = tok_gsorted[tgb[j]:tgb[j + 1]]
-                for spec in global_specs:
-                    sk = spec.make()
-                    sk.update(tsl if spec.value == "tokens" else n_tok[rsl])
-                    emit(SCOPE_GLOBAL, spec.kind, pid, sk, len(rsl), len(tsl))
+                source = sources[int(cid) % n_src]
+                uq = utok[cbounds[j]:cbounds[j + 1]]
+                uc = cnt[cbounds[j]:cbounds[j + 1]]
+                rsl = rorder[rb[j]:rb[j + 1]]
+                update_scope(f"src:{source}", pid, per_source, uq, uc,
+                             int(uc.sum()), n_tok[rsl], len(rsl))
+
+        # ---- global-scope partials, one per partition present in the batch
+        # (keeps every partition checkpoint self-contained for resume);
+        # built from the pid's already-deduped (token, count) run — a small
+        # second dedup over vocab-sized data, not the token stream
+        if global_specs:
+            pid_of_combo = combos // n_src
+            gpids = np.unique(pid_of_combo)
+            gcb = np.searchsorted(pid_of_combo, gpids)
+            gcb = np.append(gcb, len(combos))
+            for g, pid in enumerate(gpids):
+                if int(pid) in self.skip:
+                    continue
+                lo, hi = cbounds[gcb[g]], cbounds[gcb[g + 1]]
+                toks_slice = utok[lo:hi]
+                cnt_slice = cnt[lo:hi]
+                order2 = np.argsort(toks_slice, kind="stable")
+                ts = toks_slice[order2]
+                e2 = np.empty(len(ts), dtype=bool)
+                if len(ts):
+                    e2[0] = True
+                    np.not_equal(ts[1:], ts[:-1], out=e2[1:])
+                s2 = np.flatnonzero(e2)
+                uq = ts[s2]
+                uc = np.add.reduceat(cnt_slice[order2], s2) if len(s2) else \
+                    np.empty(0, dtype=np.int64)
+                rlo, rhi = rb[gcb[g]], rb[gcb[g + 1]]
+                rsl = rorder[rlo:rhi]
+                update_scope(SCOPE_GLOBAL, int(pid), global_specs, uq, uc,
+                             int(cnt_slice.sum()), n_tok[rsl], len(rsl))
 
         return pa.Table.from_pydict(out, schema=PARTIAL_SCHEMA)
 

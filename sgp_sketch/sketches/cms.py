@@ -90,12 +90,16 @@ class CountMinSketch(Sketch):
         return hash_str(v, self.seed)
 
     # -- update -----------------------------------------------------------
-    def update(self, values, weights=None) -> None:
+    def update(self, values, weights=None, assume_unique: bool = False) -> None:
+        """``assume_unique=True`` with ``weights`` skips the dedup sort — the
+        pipeline pre-deduplicates each batch slice once for all sketches."""
         v = np.asarray(values)
         if len(v) == 0:
             return
         # collapse duplicates first: one bincount add per distinct key
-        if weights is None:
+        if assume_unique and weights is not None:
+            uniq, cnt = v, np.asarray(weights)
+        elif weights is None:
             uniq, cnt = np.unique(v, return_counts=True)
         else:
             order = np.argsort(v, kind="stable")
@@ -124,12 +128,21 @@ class CountMinSketch(Sketch):
     def _track(self, keys: np.ndarray, cnt: np.ndarray) -> None:
         if self.track_keys <= 0:
             return
+        # only the update's top candidates can be heavy hitters: trim with a
+        # vectorized argpartition BEFORE touching the dict (the Python loop
+        # below then runs over <= 2*track_keys items, not the whole vocab)
+        m = 2 * self.track_keys
+        if len(keys) > m:
+            idx = np.argpartition(-cnt, m - 1)[:m]
+            keys, cnt = keys[idx], cnt[idx]
         cand = self._candidates
         for k, c in zip(keys.tolist(), cnt.tolist()):
             cand[k] = cand.get(k, 0) + int(c)
         if len(cand) > 4 * self.track_keys:
-            keep = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[: 2 * self.track_keys]
-            self._candidates = dict(keep)
+            ck = np.fromiter(cand.keys(), np.int64, len(cand))
+            cv = np.fromiter(cand.values(), np.int64, len(cand))
+            order = np.lexsort((ck, -cv))[:m]
+            self._candidates = dict(zip(ck[order].tolist(), cv[order].tolist()))
 
     # -- queries ----------------------------------------------------------
     def estimate_counts(self, values) -> np.ndarray:

@@ -91,6 +91,9 @@ class HyperLogLog(Sketch):
             return
         idx, rho = _idx_rho(hashes, self.p)
         u_idx, u_rho = _max_per_index(idx, rho)
+        if self._dense is None and \
+                len(self._sparse) + len(u_idx) > self.m // _SPARSE_FRACTION:
+            self._to_dense()  # skip the dict loop when densify is inevitable
         if self._dense is not None:
             self._dense[u_idx] = np.maximum(self._dense[u_idx], u_rho)
             return
@@ -98,8 +101,6 @@ class HyperLogLog(Sketch):
         for i, r in zip(u_idx.tolist(), u_rho.tolist()):
             if r > sp.get(i, 0):
                 sp[i] = r
-        if len(sp) > self.m // _SPARSE_FRACTION:
-            self._to_dense()
 
     def update(self, values) -> None:
         v = np.asarray(values)

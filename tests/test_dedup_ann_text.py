@@ -1,0 +1,188 @@
+"""Dedup / similarity-search / text-analysis / multimodal operator tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sgp_sketch.ann import brute_force_topk, cosine_neardup_pairs, lsh_topk
+from sgp_sketch.dedup import (
+    exact_dedup,
+    jaccard_pairs_exact,
+    minhash_lsh_pipeline,
+    minhash_params,
+    minhash_signatures,
+    simhash_pipeline,
+)
+from sgp_sketch.text import (
+    LangId,
+    quality_features,
+    simhash64,
+    winnow_fingerprints,
+)
+
+
+def docs_ds(sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+class TestMinHash:
+    def test_signature_estimates_jaccard(self):
+        a, b = minhash_params(256)
+        rng = np.random.default_rng(3)
+        base = [f"w{i}" for i in range(200)]
+        doc1 = base
+        doc2 = base[:150] + [f"x{i}" for i in range(50)]  # true J = 150/250 = 0.6
+        sig = minhash_signatures([doc1, doc2], a, b)
+        est = (sig[0] == sig[1]).mean()
+        assert abs(est - 0.6) < 0.12  # 256 perms -> se ~ 0.03
+
+    def test_lsh_matches_exact_pairs(self, sf_small):
+        got = (
+            minhash_lsh_pipeline(docs_ds(sf_small), n_perm=128, bands=32,
+                                 jaccard_threshold=0.95)
+            .to_pandas()
+        )
+        want = jaccard_pairs_exact(docs_ds(sf_small), threshold=0.95).to_pandas()
+        key = lambda df: set(zip(df["doc_a"], df["doc_b"]))
+        assert key(got) == key(want)
+        assert len(got) > 0  # data has near-dup word sets
+
+    def test_exact_dedup_identity(self, sf_small):
+        out = exact_dedup(docs_ds(sf_small)).to_pandas()
+        # all texts distinct in this data -> every doc survives with n_dups=1
+        assert len(out) == 500
+        assert (out["n_dups"] == 1).all()
+
+
+class TestSimHash:
+    def test_near_identical_docs_low_hamming(self):
+        doc = [f"w{i}" for i in range(100)]
+        near = doc[:-1] + ["different"]
+        far = [f"z{i}" for i in range(100)]
+        s = simhash64([doc, near, far])
+        ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+        assert ham(s[0], s[1]) < ham(s[0], s[2])
+        assert ham(s[0], s[1]) <= 12
+
+    def test_pipeline_runs_and_detects_self_similarity(self, sf_small):
+        out = simhash_pipeline(docs_ds(sf_small), hamming_threshold=3).to_pandas()
+        assert set(out.columns) == {"doc_a", "doc_b", "hamming"}
+        assert (out["hamming"] <= 3).all()
+
+
+class TestANN:
+    def test_brute_force_matches_numpy(self, sf_small):
+        import pyarrow.parquet as pq
+
+        emb = pq.read_table(f"{sf_small}/embeddings.parquet")
+        m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+        ids = emb["vec_id"].to_numpy()
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        queries = m[:3]
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_small}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        got = brute_force_topk(ds, queries, ids[:3], k=5).to_pandas()
+        for qi in range(3):
+            sims = mn[qi] @ mn.T
+            order = np.lexsort((ids, -sims))[:5]
+            want = ids[order].tolist()
+            g = got[got["query_id"] == ids[qi]].sort_values("rank")
+            assert g["vec_id"].tolist() == want
+
+    def test_lsh_recall(self, sf_small):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        emb = pq.read_table(f"{sf_small}/embeddings.parquet")
+        queries = np.array(emb["embedding"].to_pylist(), dtype=np.float64)[:5]
+        qids = emb["vec_id"].to_numpy()[:5]
+        ds = rd.read_parquet(f"{sf_small}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        brute = brute_force_topk(ds, queries, qids, k=10).to_pandas()
+        approx = lsh_topk(ds, queries, qids, k=10, n_bits=8).to_pandas()
+        # recall@10 of the bucketed variant vs exact
+        recall = []
+        for q in qids:
+            b = set(brute[brute["query_id"] == q]["vec_id"])
+            a = set(approx[approx["query_id"] == q]["vec_id"])
+            recall.append(len(a & b) / len(b))
+        assert np.mean(recall) >= 0.3  # ring probing on random data
+
+    def test_cosine_neardup_self_consistent(self, sf_small):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_small}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        out = cosine_neardup_pairs(ds, threshold=0.3).to_pandas()
+        assert len(out) > 0  # random 64-dim vectors: some pairs at cos >= 0.3
+        assert (out["id_a"] < out["id_b"]).all()
+        assert (out["sim"] >= 0.3).all()
+
+
+class TestText:
+    def test_langid_known_profiles(self):
+        li = LangId()
+        batch = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["the cat and the dog is in a box",
+                     "der hund ist ein tier und das ist gut",
+                     "xyzzy qwerty plugh"],
+        })
+        out = li(batch)
+        assert out["pred_lang"].tolist()[:2] == ["en", "de"]
+        assert out["pred_lang"].iloc[2] == "en"  # fallback
+
+    def test_quality_monotone_in_length(self):
+        batch = pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["word " * 10, "word " * 200],
+        })
+        out = quality_features(batch)
+        assert out["quality_e6"].iloc[1] > out["quality_e6"].iloc[0]
+
+    def test_winnow_deterministic_and_shift_robust(self):
+        fp1 = winnow_fingerprints("the quick brown fox jumps over the dog")
+        fp2 = winnow_fingerprints("the quick brown fox jumps over the dog")
+        assert fp1 == fp2 and len(fp1) > 0
+        # shared substring -> shared fingerprints (the winnowing property)
+        fp3 = winnow_fingerprints("PREFIX the quick brown fox jumps over the dog")
+        assert len(set(fp1) & set(fp3)) > 0
+
+
+class TestMultimodal:
+    def test_fake_decode_plumbing(self, sf_small):
+        from sgp_sketch.multimodal import media_features, synthesize_media_dataset
+
+        ds = synthesize_media_dataset(sf_small)
+        out = media_features(ds, mode="fake").take_all()
+        assert len(out) == 500
+        row = out[0]
+        assert len(row["features"]) == 16
+        assert abs(sum(row["features"]) - 1.0) < 1e-9  # normalized histogram
+
+    def test_real_decode_raises_not_implemented(self):
+        import pyarrow as pa
+
+        from sgp_sketch.multimodal import MediaDecoder
+
+        dec = MediaDecoder(mode="real")
+        batch = pa.table({
+            "media_id": ["m0"], "media_type": ["image"],
+            "payload": [b"bytes"], "n_bytes": [5],
+        })
+        with pytest.raises(NotImplementedError, match="codec"):
+            dec(batch)
+
+    def test_frame_sample_layout(self, sf_small):
+        from sgp_sketch.multimodal import frame_sample, synthesize_media_dataset
+
+        ds = synthesize_media_dataset(sf_small)
+        out = frame_sample(ds, every_n=64).take_all()
+        assert len(out) > 0
+        assert all(len(r["frame_bytes"]) <= 64 for r in out)
+        assert all(r["frame_idx"] >= 0 for r in out)
