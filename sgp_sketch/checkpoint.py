@@ -112,9 +112,7 @@ def run_checkpointed(
     import ray
 
     specs = specs if specs is not None else DEFAULT_SPECS
-    if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, ncpu - 2)
+    del concurrency  # task-pool updater (warm worker reuse); kept for API compat
 
     t0 = time.perf_counter()
     amap = load_or_create_plan(ds, ckpt_dir, k)
@@ -130,12 +128,12 @@ def run_checkpointed(
     fresh_rows: list[dict] = []
     if len(done) < k:
         amap_ref = ray.put(amap)
+        from .pipeline import make_updater_fn
+
         partials = ds.map_batches(
-            SketchUpdater,
-            fn_constructor_args=(specs, k, amap_ref, done),
+            make_updater_fn(specs, k, amap_ref, done),
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
         )
         stage1 = partials.groupby("partition_id").map_groups(
             merge_partial_group, batch_format="pyarrow"

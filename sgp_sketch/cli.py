@@ -1,0 +1,122 @@
+"""CLI entry point: ``python -m sgp_sketch.cli <command>``.
+
+The single entry point that replaces the reference's three harnesses
+(partitioner JVM main, analytics shell, interactive master —
+SURVEY.md §3.3): build sketches over a tokens table, optionally
+checkpointed/resumable, and emit estimates + metrics JSON.
+
+Owns its Ray session (guarded init) — library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .pipeline import build_sketches
+    from .schema import tokens_dataset
+
+    if os.path.isdir(args.input) and os.path.exists(
+        os.path.join(args.input, "documents.parquet")
+    ):
+        ds = tokens_dataset(args.input)
+    else:
+        ds = rd.read_parquet(args.input)
+
+    if args.checkpoint_dir:
+        from .checkpoint import run_checkpointed
+
+        res = run_checkpointed(ds, args.checkpoint_dir, k=args.k,
+                               batch_size=args.batch_size)
+    else:
+        res = build_sketches(ds, k=args.k, batch_size=args.batch_size,
+                             plan=not args.no_plan)
+
+    table = res.estimates_table().to_pandas()
+    if args.output:
+        os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+        table.to_json(args.output, orient="records", lines=True)
+    else:
+        print(table.to_string(index=False))
+    if args.metrics:
+        from .metrics import write_metrics
+
+        write_metrics(args.metrics, res.metrics)
+    else:
+        print(json.dumps(res.metrics, default=str), file=sys.stderr)
+    return 0
+
+
+def cmd_partition(args) -> int:
+    """Plan-only: greedy source -> partition assignment + imbalance report
+    (the analogue of the reference's vertex,partition output CSV)."""
+    _init_ray(args.num_cpus)
+    from .metrics import imbalance_report
+    from .pipeline import plan_partitions
+    from .schema import tokens_dataset
+
+    ds = tokens_dataset(args.input).select_columns(["source", "n_tok"])
+    amap, sizes, agg = plan_partitions(ds, args.k)
+    rows = [
+        {"source": s, "partitions": [int(x) for x in p]} for s, p in sorted(amap.items())
+    ]
+    out = {"k": args.k, "assignment": rows, "report": imbalance_report(sizes)}
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="sgp_sketch")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="run the sketch pipeline")
+    b.add_argument("input", help="tokens parquet path/glob, or a testdata sf dir")
+    b.add_argument("-k", type=int, default=16)
+    b.add_argument("--batch-size", type=int, default=8192)
+    b.add_argument("--checkpoint-dir", default=None)
+    b.add_argument("--no-plan", action="store_true",
+                   help="hash partitioning instead of the greedy plan")
+    b.add_argument("--output", default=None, help="estimates JSONL path")
+    b.add_argument("--metrics", default=None, help="metrics JSON path")
+    b.set_defaults(fn=cmd_build)
+
+    pp = sub.add_parser("partition", help="greedy partition plan only")
+    pp.add_argument("input", help="testdata sf dir")
+    pp.add_argument("-k", type=int, default=16)
+    pp.set_defaults(fn=cmd_partition)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -264,6 +264,23 @@ class SketchUpdater:
         return pa.Table.from_pydict(out, schema=PARTIAL_SCHEMA)
 
 
+def make_updater_fn(specs, k, amap_ref=None, skip_partitions=None):
+    """Stateless task-pool wrapper around SketchUpdater.
+
+    The updater's only state (specs, k, the broadcast plan ref) is tiny, so
+    a plain function beats an actor pool: Ray TASKS reuse warm worker
+    processes, while every ACTOR is a fresh process paying the numpy/arrow
+    import storm (~2-4s each — measured to dominate the whole build at
+    pool sizes > 8). ``ray.get(amap_ref)`` inside is a worker-local plasma
+    read, effectively free after the first batch.
+    """
+
+    def update_batch(batch: pa.Table) -> pa.Table:
+        return SketchUpdater(specs, k, amap_ref, skip_partitions)(batch)
+
+    return update_batch
+
+
 def merge_partial_group(group: pa.Table) -> pa.Table:
     """Reduce partial sketch rows: one output row per (scope, kind)."""
     scopes = group["scope"].to_pylist()
@@ -363,13 +380,9 @@ def build_sketches(
     import ray
 
     specs = specs if specs is not None else DEFAULT_SPECS
-    if concurrency is None:
-        # actor pool sized to the session CPUs, leaving headroom for the
-        # read and merge stages so no stage starves (SURVEY.md §7.2)
-        import ray as _ray
-
-        ncpu = int(_ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, ncpu - 2)
+    # concurrency=None -> stateless task pool (warm worker reuse; default).
+    # An explicit concurrency opts into an actor pool — only worth it when
+    # the broadcast state is big enough that per-task reconstruction hurts.
     t0 = time.perf_counter()
     metrics: dict[str, Any] = {"k": k, "batch_size": batch_size}
 
@@ -383,17 +396,26 @@ def build_sketches(
         amap_ref = ray.put(amap)
 
     t1 = time.perf_counter()
-    partials = ds.map_batches(
-        SketchUpdater,
-        fn_constructor_args=(specs, k, amap_ref),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
-    merged_stage1 = partials.groupby("partition_id").map_groups(
-        merge_partial_group, batch_format="pyarrow"
-    )
-    merged = merged_stage1.groupby(["scope", "kind"]).map_groups(
+    if concurrency is None:
+        partials = ds.map_batches(
+            make_updater_fn(specs, k, amap_ref),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        partials = ds.map_batches(
+            SketchUpdater,
+            fn_constructor_args=(specs, k, amap_ref),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    # single merge shuffle keyed by partition_id (the greedy plan routes all
+    # of a source's partials to one partition, so group count == k — small
+    # and balanced); cross-partition scopes (global + salted) fold in the
+    # driver-side loop below. The checkpoint path (checkpoint.py) keeps the
+    # same stage to persist per-partition state.
+    merged = partials.groupby("partition_id").map_groups(
         merge_partial_group, batch_format="pyarrow"
     )
     rows = merged.take_all()
@@ -404,7 +426,7 @@ def build_sketches(
     for row in rows:
         key = (row["scope"], row["kind"])
         sk = sketch_from_bytes(row["payload"])
-        if key in sketches:  # defensive: should not happen after stage 2
+        if key in sketches:  # cross-partition scope (global / salted source)
             sketches[key] = sketches[key].merge(sk)
             nr, nt = counts[key]
             counts[key] = (nr + row["n_rows"], nt + row["n_tokens"])

