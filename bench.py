@@ -72,12 +72,12 @@ def run_bench() -> dict:
     # ---- headline: sketch build over the synthetic skewed corpus
     # small shards -> enough read/update tasks to fill the worker pool
     files = generate_tokens_parquet(CORPUS_DIR, CORPUS_DOCS, seed=42,
-                                    rows_per_file=10_000)
+                                    rows_per_file=25_000)
     # warm the OS page cache AND the Ray worker pool (a worker process pays
     # a one-time ~4s numpy/arrow import; at 100TB workers stay warm for
     # hours, so the steady state is what the headline measures)
     build_sketches(rd.read_parquet(files[: max(2, len(files) // 8)]),
-                   k=16, batch_size=8192, plan=False)
+                   k=16, batch_size=32768, plan=False)
 
     # best-of-N: this sandbox is a shared host with 2-4x run-to-run CPU
     # noise; the minimum is the capability number (all runs are identical
@@ -86,7 +86,7 @@ def run_bench() -> dict:
     for _ in range(BENCH_REPEATS):
         t0 = time.perf_counter()
         ds = rd.read_parquet(files)
-        res_i = build_sketches(ds, k=16, batch_size=8192)
+        res_i = build_sketches(ds, k=16, batch_size=32768)
         el = time.perf_counter() - t0
         if best is None or el < best[0]:
             best = (el, res_i)

@@ -109,6 +109,11 @@ def main(argv=None) -> int:
     pp.add_argument("-k", type=int, default=16)
     pp.set_defaults(fn=cmd_partition)
 
+    ex = sub.add_parser("experiment",
+                        help="config-driven algorithm x k cross-product")
+    ex.add_argument("config", help="JSON config path")
+    ex.set_defaults(fn=cmd_experiment)
+
     args = p.parse_args(argv)
     rc = args.fn(args)
     import ray
@@ -116,6 +121,63 @@ def main(argv=None) -> int:
     if ray.is_initialized():
         ray.shutdown()
     return rc
+
+
+
+
+def load_config(path: str) -> dict:
+    """JSON run config (the analogue of the reference's .properties /
+    experiment-matrix JSON, twitter.properties / twitter.json): keys map
+    to ``build`` CLI flags; unknown keys are rejected."""
+    import json as _json
+
+    allowed = {"input", "k", "batch_size", "checkpoint_dir", "no_plan",
+               "output", "metrics", "algorithms", "partitions"}
+    with open(path) as f:
+        cfg = _json.load(f)
+    unknown = set(cfg) - allowed
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    return cfg
+
+
+def cmd_experiment(args) -> int:
+    """Config-driven cross-product runs (run_experiments.py:122-149 shape):
+    algorithms x partition counts over one input, metrics per run."""
+    _init_ray(args.num_cpus)
+    import itertools
+
+    from .metrics import imbalance_report
+    from .partition import StreamingPartitioner
+    from .schema import tokens_dataset
+
+    cfg = load_config(args.config)
+    algorithms = cfg.get("algorithms", ["hash", "ldg", "fennel"])
+    partitions = cfg.get("partitions", [16])
+    agg = None
+    results = []
+    for algo, k in itertools.product(algorithms, partitions):
+        if agg is None:
+            import pyarrow as pa
+
+            ds = tokens_dataset(cfg["input"]).select_columns(["source", "n_tok"])
+
+            def partial(t: pa.Table) -> pa.Table:
+                g = t.group_by("source").aggregate([("n_tok", "sum")])
+                return g.rename_columns(["source", "load"])
+
+            agg = (ds.map_batches(partial, batch_format="pyarrow")
+                   .groupby("source").sum("load").to_pandas()
+                   .sort_values("source").reset_index(drop=True))
+        sp = StreamingPartitioner(k, algo, total_load=float(agg["sum(load)"].sum()),
+                                  total_edges=float(len(agg)), tie="least_loaded")
+        sp.assign_stream(agg["source"].tolist(),
+                         loads=agg["sum(load)"].to_numpy())
+        m = sp.metrics()
+        m.update(imbalance_report(m.pop("sizes")))
+        results.append(m)
+    print(json.dumps(results, indent=1))
+    return 0
 
 
 if __name__ == "__main__":

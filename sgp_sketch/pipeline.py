@@ -73,12 +73,19 @@ class SketchSpec:
         return cls(**params)
 
 
+# Partial payload sizes are the merge-shuffle cost, so sketch params are
+# sized per scope family: global sketches get full precision (one per
+# partition per batch at most); per-source sketches — emitted per SOURCE per
+# batch — use smaller grids (their streams are 1/n_sources of the mass, so
+# the absolute error stays proportionally tight).
 DEFAULT_SPECS = [
-    SketchSpec("hll", value="tokens"),
-    # width 4096 keeps dense partials at 160KB so the merge shuffle stays
-    # payload-light; eps = e/4096 ~ 0.07% of stream mass — far below any
-    # heavy hitter of interest
-    SketchSpec("cms", value="tokens", params={"width": 4096}),
+    SketchSpec("hll", value="tokens", per_source=False),          # p=14
+    SketchSpec("hll", value="tokens", global_scope=False,
+               params={"p": 12}),                                  # 4KB dense
+    SketchSpec("cms", value="tokens", per_source=False,
+               params={"width": 2048}),                            # 80KB dense
+    SketchSpec("cms", value="tokens", global_scope=False,
+               params={"width": 512}),                             # 20KB dense
     SketchSpec("kll", value="n_tok"),
     SketchSpec("tdigest", value="n_tok"),
     SketchSpec("bloom", value="tokens", per_source=False),
@@ -112,10 +119,16 @@ class SketchUpdater:
     """
 
     def __init__(self, specs: list[SketchSpec], k: int, amap_ref=None,
-                 skip_partitions: frozenset | None = None):
+                 skip_partitions: frozenset | None = None,
+                 global_per_pid: bool = True):
         self.specs = specs
         self.k = k
         self.skip = skip_partitions or frozenset()
+        # True: one global partial per partition present in the batch
+        # (required for self-contained partition checkpoints). False: one
+        # global partial per batch — k-fold fewer partial bytes through the
+        # merge shuffle; used by the non-checkpointed pipeline.
+        self.global_per_pid = global_per_pid
         if amap_ref is not None:
             import ray
 
@@ -235,7 +248,23 @@ class SketchUpdater:
         # (keeps every partition checkpoint self-contained for resume);
         # built from the pid's already-deduped (token, count) run — a small
         # second dedup over vocab-sized data, not the token stream
-        if global_specs:
+        if global_specs and not self.global_per_pid:
+            # one global partial for the whole batch, re-deduped from the
+            # combo-level unique runs (vocab-scale work, not token-scale)
+            order2 = np.argsort(utok, kind="stable")
+            ts = utok[order2]
+            e2 = np.empty(len(ts), dtype=bool)
+            if len(ts):
+                e2[0] = True
+                np.not_equal(ts[1:], ts[:-1], out=e2[1:])
+            s2 = np.flatnonzero(e2)
+            uq = ts[s2]
+            uc = np.add.reduceat(cnt[order2], s2) if len(s2) else \
+                np.empty(0, dtype=np.int64)
+            pid = int(pid_rows[0]) if len(pid_rows) else 0
+            update_scope(SCOPE_GLOBAL, pid, global_specs, uq, uc,
+                         int(cnt.sum()), n_tok, len(n_tok))
+        elif global_specs:
             pid_of_combo = combos // n_src
             gpids = np.unique(pid_of_combo)
             gcb = np.searchsorted(pid_of_combo, gpids)
@@ -264,7 +293,8 @@ class SketchUpdater:
         return pa.Table.from_pydict(out, schema=PARTIAL_SCHEMA)
 
 
-def make_updater_fn(specs, k, amap_ref=None, skip_partitions=None):
+def make_updater_fn(specs, k, amap_ref=None, skip_partitions=None,
+                    global_per_pid=True):
     """Stateless task-pool wrapper around SketchUpdater.
 
     The updater's only state (specs, k, the broadcast plan ref) is tiny, so
@@ -276,7 +306,8 @@ def make_updater_fn(specs, k, amap_ref=None, skip_partitions=None):
     """
 
     def update_batch(batch: pa.Table) -> pa.Table:
-        return SketchUpdater(specs, k, amap_ref, skip_partitions)(batch)
+        return SketchUpdater(specs, k, amap_ref, skip_partitions,
+                             global_per_pid)(batch)
 
     return update_batch
 
@@ -398,7 +429,7 @@ def build_sketches(
     t1 = time.perf_counter()
     if concurrency is None:
         partials = ds.map_batches(
-            make_updater_fn(specs, k, amap_ref),
+            make_updater_fn(specs, k, amap_ref, global_per_pid=False),
             batch_format="pyarrow",
             batch_size=batch_size,
         )

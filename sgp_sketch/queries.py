@@ -764,3 +764,39 @@ def all_queries():
 
 def all_oracles():
     return {name: sql for name, (_, sql) in EXACT_QUERIES.items()}
+
+
+def order_lineitem_join(sf_dir: str):
+    """Large-side hash join via Dataset.join (hash-partitioned on the key;
+    the reference's shuffle-join shape, adj2metis.scala:66-77), then a
+    grouped rollup by order priority."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.Table.from_pydict({"l_orderkey": t["l_orderkey"], "revenue": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+ORDER_LINEITEM_JOIN_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+EXACT_QUERIES["order_lineitem_join"] = (order_lineitem_join, ORDER_LINEITEM_JOIN_SQL)

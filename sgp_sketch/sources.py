@@ -157,3 +157,62 @@ def write_partition_map(pm: pd.DataFrame, path: str) -> None:
     import pyarrow.parquet as pq
 
     pq.write_table(pa.Table.from_pandas(pm, preserve_index=False), path)
+
+
+SNB_EDGE_SCHEMA = pa.schema(
+    [("src", pa.string()), ("dst", pa.string()), ("ts", pa.int64())]
+)
+
+
+def read_snb_edge_csv(path: str, *, src_entity: str, dst_entity: str,
+                      delimiter: str = "|"):
+    """SNB relational edge CSV (pipe-delimited, header row) -> edge Dataset.
+
+    Reproduces the reference's CSV schema (first_id, second_id, timestamp —
+    csv-converter.scala:31-34) with entity-prefixed composite ids
+    ("person:123" — :81-169 id compositing) and epoch-millis timestamps.
+    """
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    ds = rd.read_csv(
+        path,
+        parse_options=pacsv.ParseOptions(delimiter=delimiter),
+    )
+
+    def compose(batch: pa.Table) -> pa.Table:
+        cols = batch.column_names
+        src = pc.binary_join_element_wise(
+            pa.array([src_entity] * len(batch)), pc.cast(batch[cols[0]], pa.string()), ":"
+        )
+        dst = pc.binary_join_element_wise(
+            pa.array([dst_entity] * len(batch)), pc.cast(batch[cols[1]], pa.string()), ":"
+        )
+        if len(cols) > 2:
+            ts_col = batch[cols[2]]
+            if pa.types.is_timestamp(ts_col.type):
+                ts = pc.cast(ts_col, pa.int64())  # epoch micros -> keep int
+            elif pa.types.is_string(ts_col.type):
+                parsed = pc.strptime(ts_col, format="%Y-%m-%dT%H:%M:%S.%f%z",
+                                     unit="ms")
+                ts = pc.cast(parsed, pa.int64())
+            else:
+                ts = pc.cast(ts_col, pa.int64())
+        else:
+            ts = pa.array([0] * len(batch), pa.int64())
+        return pa.Table.from_arrays([src, dst, ts], schema=SNB_EDGE_SCHEMA)
+
+    return ds.map_batches(compose, batch_format="pyarrow")
+
+
+def undirect_edges(edges):
+    """Emit both (src,dst) and (dst,src) — the reference's reverse-edge
+    flatMap (csv-converter.scala:193-203, snap2metis.scala:44)."""
+
+    def rev(batch: pa.Table) -> pa.Table:
+        fwd = batch.select(["src", "dst"])
+        bwd = pa.Table.from_arrays([batch["dst"], batch["src"]],
+                                   names=["src", "dst"])
+        return pa.concat_tables([fwd, bwd])
+
+    return edges.map_batches(rev, batch_format="pyarrow")
