@@ -95,3 +95,29 @@ class TestGraphPartitionPipeline:
                                         "fennel", total_vertices=40,
                                         total_edges=68, seed=9)
         assert pm1.equals(pm2)
+
+
+class TestSNBSource:
+    def test_csv_compose_undirect(self, tmp_path):
+        p = tmp_path / "person_knows_person.csv"
+        p.write_text(
+            "Person.id|Person.id.1|creationDate\n"
+            "1|2|2010-01-01T00:00:00.000+0000\n"
+            "2|3|2011-06-15T12:30:00.000+0000\n"
+        )
+        from sgp_sketch.sources import (
+            read_snb_edge_csv,
+            snap_to_adjacency,
+            undirect_edges,
+        )
+
+        edges = read_snb_edge_csv(str(p), src_entity="person", dst_entity="person")
+        rows = sorted((r["src"], r["dst"]) for r in edges.take_all())
+        assert rows == [("person:1", "person:2"), ("person:2", "person:3")]
+        ts = [r["ts"] for r in edges.take_all()]
+        assert all(t > 0 for t in ts)  # parsed epoch timestamps
+
+        und = undirect_edges(edges)
+        assert und.count() == 4
+        adj = {r["vertex"]: r["neighbors"] for r in snap_to_adjacency(und).take_all()}
+        assert adj["person:2"] == ["person:1", "person:3"]
