@@ -194,3 +194,50 @@ def cosine_neardup_pairs(ds, threshold: float = 0.95,
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     return ds.map_batches(Pairs, batch_format="pyarrow",
                           concurrency=max(2, ncpu // 2))
+
+
+def lsh_neardup_pairs(ds, threshold: float = 0.9, n_bits: int = 8, seed: int = 11,
+                      id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Cosine near-dup via hyperplane-LSH buckets — the scale path.
+
+    Rows shuffle once keyed by their signature bucket (2^n_bits SMALL fixed
+    groups); each bucket scores only its own pairwise block. Recall depends
+    on the threshold (vectors with cosine >= t collide in all bits with
+    prob (1 - acos(t)/pi)^n_bits); tested against the exact kernel.
+    """
+    import ray
+
+    dim = len(ds.take(1)[0][vec_col])
+    lsh = HyperplaneLSH(dim, n_bits, seed)
+    pref = ray.put(lsh.planes)
+
+    def bucketize(batch: pa.Table) -> pd.DataFrame:
+        planes = ray.get(pref)
+        x = _normalize(_stack(batch[vec_col]))
+        weights = (1 << np.arange(planes.shape[1], dtype=np.int64))
+        buckets = ((x @ planes) > 0).astype(np.int64) @ weights
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(zero_copy_only=False),
+            "bucket": buckets,
+            "vec": [row.tolist() for row in x],
+        })
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        ids = g[id_col].to_numpy()
+        m = np.array(g["vec"].tolist(), dtype=np.float64)
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"id_a": a2, "id_b": b2,
+                             "sim": sims[ii, jj].round(6)})
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")

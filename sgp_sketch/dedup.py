@@ -138,6 +138,13 @@ def minhash_signatures(word_lists: list[list[str]], a: np.ndarray, b: np.ndarray
     return np.minimum.reduceat(grid, starts, axis=0)
 
 
+def _shingles(words: list[str], k: int) -> list[str]:
+    """Word k-shingles as joined strings; k=1 degrades to unigrams."""
+    if k <= 1 or len(words) < k:
+        return words
+    return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+
 def minhash_lsh_pipeline(
     ds,
     *,
@@ -147,6 +154,7 @@ def minhash_lsh_pipeline(
     seed: int = 7,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    shingle: int = 1,
 ):
     """MinHash-LSH near-dup candidate pairs, verified with exact Jaccard.
 
@@ -163,7 +171,8 @@ def minhash_lsh_pipeline(
     # pool here would reserve CPUs and can starve the downstream task-pool
     # operators on small sessions (two actor pools at 4 CPUs deadlock)
     def signer(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch[text_col].str.split(" ").tolist()
+        words = [_shingles(ws, shingle)
+                 for ws in batch[text_col].str.split(" ").tolist()]
         sig = minhash_signatures(words, a, b)
         band_hash = np.empty((len(batch), bands), dtype=np.uint64)
         for bi in range(bands):
@@ -197,7 +206,8 @@ def minhash_lsh_pipeline(
     word_sets = {}
     for bt in ds.select_columns([doc_col, text_col]).iter_batches(batch_format="pandas"):
         for did, txt in zip(bt[doc_col], bt[text_col]):
-            word_sets[did] = np.unique(hash_str(np.array(txt.split(" "), dtype=object)))
+            sh = _shingles(txt.split(" "), shingle)
+            word_sets[did] = np.unique(hash_str(np.array(sh, dtype=object)))
     ref = ray.put(word_sets)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:

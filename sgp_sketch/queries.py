@@ -800,3 +800,119 @@ GROUP BY o_orderpriority
 """
 
 EXACT_QUERIES["order_lineitem_join"] = (order_lineitem_join, ORDER_LINEITEM_JOIN_SQL)
+
+
+def events_sliding_window(sf_dir: str):
+    """Sliding-window aggregate (2h window, 1h hop): each event lands in
+    two windows — flat-emit both window starts per row, then a grouped
+    aggregate (the streaming-shaped pattern from the Ray guide)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        floored = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("s"))
+        prev = pc.cast(
+            pc.subtract(floored, pa.scalar(3600_000_000_000, pa.duration("ns"))),
+            pa.timestamp("s"),  # subtraction promotes to ns; %S would then
+        )                       # print fractional digits and split the keys
+        n = len(t)
+        starts = pa.concat_arrays([
+            pc.strftime(floored, format="%Y-%m-%d %H:%M:%S").combine_chunks()
+            if isinstance(floored, pa.ChunkedArray) else
+            pc.strftime(floored, format="%Y-%m-%d %H:%M:%S"),
+            pc.strftime(prev, format="%Y-%m-%d %H:%M:%S").combine_chunks()
+            if isinstance(prev, pa.ChunkedArray) else
+            pc.strftime(prev, format="%Y-%m-%d %H:%M:%S"),
+        ])
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        val = t["value"]
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([et, et]), starts, pa.concat_arrays([val, val])],
+            names=["event_type", "window_start", "value"],
+        )
+
+    out = (
+        ds.map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_type,
+       strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM (
+    SELECT event_type, value,
+           unnest([date_trunc('hour', ts),
+                   date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+    FROM events
+)
+GROUP BY event_type, ws
+"""
+
+
+def topk_words_per_source(sf_dir: str):
+    """Top-3 words per source by count (grouped top-k; deterministic
+    tie-break cnt desc, word asc)."""
+    from .ops import word_counts
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    counts = word_counts(ds, keep=("source",))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sum(cnt)", "word"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = counts.groupby("source").map_groups(topk, batch_format="pandas")
+    return out.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+
+
+TOPK_PER_SOURCE_SQL = """
+SELECT source, word, cnt, rank FROM (
+    SELECT source, w AS word, count(*) AS cnt,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY count(*) DESC, w ASC) AS rank
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY source, w
+) WHERE rank <= 3
+"""
+
+EXACT_QUERIES["events_sliding_window"] = (events_sliding_window, EVENTS_SLIDING_SQL)
+EXACT_QUERIES["topk_words_per_source"] = (topk_words_per_source, TOPK_PER_SOURCE_SQL)
+
+
+def shingle_jaccard_pairs(sf_dir: str):
+    """Near-dup pairs by 3-word shingle Jaccard (MinHash-LSH candidates +
+    exact shingle verification). Shingles lower similarity vs unigram sets,
+    so this finds only structural duplicates; rows-only check."""
+    from .dedup import minhash_lsh_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_pipeline(ds, n_perm=128, bands=32,
+                               jaccard_threshold=0.8, shingle=3).to_pandas()
+    return out[["doc_a", "doc_b", "jaccard"]]
+
+
+def embedding_lsh_neardup(sf_dir: str):
+    """Cosine near-dup via hyperplane-LSH buckets (the scale path: only
+    same-bucket pairs are scored). Rows-only; recall vs the exact kernel is
+    tested in pytest."""
+    from .ann import lsh_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_neardup_pairs(ds, threshold=0.3, n_bits=6).to_pandas()
+
+
+ROWS_ONLY_QUERIES["shingle_jaccard_pairs"] = shingle_jaccard_pairs
+ROWS_ONLY_QUERIES["embedding_lsh_neardup"] = embedding_lsh_neardup

