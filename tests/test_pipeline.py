@@ -119,3 +119,26 @@ class TestPlanPartitions:
         amap, sizes, agg = plan_partitions(ds, k=8)
         assert len(amap) <= 32
         assert sizes.max() / sizes.mean() < 1.25  # salted greedy balances the zipf skew
+
+
+class TestPipelineInvariance:
+    def test_batch_size_invariant_registers(self, sf_small):
+        """Pipeline-level merge associativity: different batch splits must
+        produce byte-identical HLL registers and CMS totals."""
+        a = build_sketches(tokens_dataset(sf_small), k=4, batch_size=64,
+                           concurrency=2)
+        b = build_sketches(tokens_dataset(sf_small), k=4, batch_size=500,
+                           concurrency=2)
+        assert np.array_equal(a.get("hll").registers, b.get("hll").registers)
+        assert a.get("cms").total == b.get("cms").total
+        for scope in a.scopes("hll"):
+            assert a.get("hll", scope).estimate() == b.get("hll", scope).estimate()
+
+    def test_task_pool_matches_actor_pool(self, sf_small):
+        """The stateless task-pool updater and the actor-pool updater are
+        the same computation."""
+        t = build_sketches(tokens_dataset(sf_small), k=4, batch_size=250)
+        a = build_sketches(tokens_dataset(sf_small), k=4, batch_size=250,
+                           concurrency=2)
+        assert np.array_equal(t.get("hll").registers, a.get("hll").registers)
+        assert t.counts[(SCOPE_GLOBAL, "kll")] == a.counts[(SCOPE_GLOBAL, "kll")]

@@ -1,0 +1,103 @@
+"""Hypothesis property tests: merge associativity/commutativity and
+serialization round-trips under arbitrary data splits (SURVEY.md §5
+"Merge-associativity / commutativity property tests")."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from sgp_sketch.sketches import (
+    BlockedBloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLLSketch,
+    TDigest,
+    sketch_from_bytes,
+)
+
+values = st.lists(st.integers(min_value=0, max_value=1 << 20),
+                  min_size=0, max_size=400)
+split_points = st.lists(st.integers(min_value=0, max_value=400),
+                        min_size=0, max_size=4)
+
+
+def _parts(data, cuts):
+    arr = np.array(data, dtype=np.int64)
+    cuts = sorted(c for c in cuts if c < len(arr))
+    return np.split(arr, cuts)
+
+
+@settings(max_examples=40, deadline=None)
+@given(values, split_points)
+def test_hll_split_invariant(data, cuts):
+    ref = HyperLogLog(p=10)
+    ref.update(np.array(data, dtype=np.int64))
+    merged = HyperLogLog(p=10)
+    for part in _parts(data, cuts):
+        s = HyperLogLog(p=10)
+        s.update(part)
+        merged.merge(s)
+    assert np.array_equal(merged.registers, ref.registers)
+
+
+@settings(max_examples=40, deadline=None)
+@given(values, split_points)
+def test_cms_split_invariant(data, cuts):
+    ref = CountMinSketch(depth=3, width=256, track_keys=0)
+    ref.update(np.array(data, dtype=np.int64))
+    merged = CountMinSketch(depth=3, width=256, track_keys=0)
+    for part in _parts(data, cuts):
+        s = CountMinSketch(depth=3, width=256, track_keys=0)
+        s.update(part)
+        merged.merge(s)
+    assert np.array_equal(merged.counts, ref.counts)
+    assert merged.total == ref.total
+
+
+@settings(max_examples=40, deadline=None)
+@given(values, split_points)
+def test_bloom_split_invariant(data, cuts):
+    ref = BlockedBloomFilter(n_blocks=16)
+    ref.add(np.array(data, dtype=np.int64))
+    merged = BlockedBloomFilter(n_blocks=16)
+    for part in _parts(data, cuts):
+        s = BlockedBloomFilter(n_blocks=16)
+        s.add(part)
+        merged.merge(s)
+    merged._densify()
+    ref._densify()
+    assert np.array_equal(merged.words, ref.words)
+
+
+@settings(max_examples=25, deadline=None)
+@given(values, split_points)
+def test_kll_merge_rank_bound(data, cuts):
+    if len(data) < 10:
+        return
+    arr = np.array(data, dtype=np.float64)
+    merged = KLLSketch(k=128)
+    for part in _parts(data, cuts):
+        s = KLLSketch(k=128)
+        s.update(np.asarray(part, dtype=np.float64))
+        merged.merge(s)
+    assert merged.n == len(arr)
+    for q in (0.25, 0.5, 0.75):
+        est = merged.quantile(q)
+        rank = (arr <= est).mean()
+        assert abs(rank - q) <= 0.12  # small-n slack over the 1/k bound
+
+
+@settings(max_examples=25, deadline=None)
+@given(values)
+def test_roundtrip_all_kinds(data):
+    arr = np.array(data, dtype=np.int64)
+    farr = arr.astype(np.float64)
+    sks = [HyperLogLog(p=8), CountMinSketch(depth=3, width=64),
+           BlockedBloomFilter(n_blocks=4), KLLSketch(k=64), TDigest(50)]
+    for sk in sks:
+        sk.update(farr if isinstance(sk, (KLLSketch, TDigest)) else arr)
+        rt = sketch_from_bytes(sk.to_bytes())
+        assert type(rt) is type(sk)
+        if isinstance(sk, (KLLSketch, TDigest)) and len(arr):
+            assert rt.quantile(0.5) == sk.quantile(0.5)
+        elif isinstance(sk, HyperLogLog):
+            assert np.array_equal(rt.registers, sk.registers)
