@@ -353,13 +353,20 @@ def plan_partitions(ds, k: int, *, by: str = "source", load_col: str = "n_tok"):
         g = t.group_by(by).aggregate([(load_col, "sum")])
         return g.rename_columns([by, "load"])
 
-    agg = (
-        ds.map_batches(partial_loads, batch_format="pyarrow")
-        .groupby(by)
-        .sum("load")
-        .to_pandas()
+    # combiner inside map_batches, then a DRIVER-side dict fold over the
+    # tiny per-batch partials (sources << rows): no groupby barrier; the
+    # driver only ever sees (source, load) rows
+    import pandas as pd
+
+    loads: dict = {}
+    for bt in ds.map_batches(partial_loads, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for s, l in zip(bt[by].to_pylist(), bt["load"].to_pylist()):
+            loads[s] = loads.get(s, 0) + int(l)
+    agg = pd.DataFrame(
+        {by: sorted(loads), "sum(load)": [loads[s] for s in sorted(loads)]}
     )
-    agg = agg.sort_values(by).reset_index(drop=True)  # deterministic stream order
     amap, sizes = assign_sources_salted(
         agg[by].tolist(), agg["sum(load)"].to_numpy(), k=k
     )
