@@ -84,3 +84,55 @@ class TestCheckpointResume:
         with pytest.raises(ValueError, match="k=4"):
             run_checkpointed(tokens_dataset(sf_small), ckpt_dir, k=8,
                              batch_size=100, concurrency=2)
+
+
+class TestRealKillResume:
+    def test_sigkill_mid_run_then_resume(self, tmp_path, sf_small):
+        """Launch the checkpointed build in a real subprocess, SIGKILL it as
+        soon as the first partition checkpoint lands, resume, and compare
+        against a clean run — the SURVEY §5 kill/resume scenario without
+        manifest surgery."""
+        import os
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        ckpt = str(tmp_path / "kill_ckpt")
+        script = (
+            "import ray\n"
+            "ray.init(address='local', num_cpus=4, include_dashboard=False,"
+            " logging_level='ERROR')\n"
+            "from ray.data import DataContext\n"
+            "DataContext.get_current().enable_progress_bars = False\n"
+            "from sgp_sketch.checkpoint import run_checkpointed\n"
+            "from sgp_sketch.schema import tokens_dataset\n"
+            f"run_checkpointed(tokens_dataset({sf_small!r}), {ckpt!r}, k=4,"
+            " batch_size=50)\n"
+        )
+        proc = subprocess.Popen([sys.executable, "-c", script],
+                                cwd="/root/repo",
+                                stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL)
+        deadline = time.time() + 120
+        first_part = None
+        while time.time() < deadline and proc.poll() is None:
+            done = [d for d in (os.listdir(ckpt) if os.path.exists(ckpt) else [])
+                    if d.startswith("part=")]
+            if done:
+                first_part = done
+                break
+            time.sleep(0.2)
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+        # whether we caught it mid-flight or it finished, resume must work
+        resumed = run_checkpointed(tokens_dataset(sf_small), ckpt, k=4,
+                                   batch_size=50)
+        clean = run_checkpointed(tokens_dataset(sf_small),
+                                 str(tmp_path / "clean_ckpt"), k=4,
+                                 batch_size=50)
+        assert np.array_equal(resumed.get("hll").registers,
+                              clean.get("hll").registers)
+        assert resumed.counts == clean.counts
+        assert resumed.metrics["n_rows"] == 500
