@@ -15,3 +15,14 @@ this library is columnar, vectorized and distributed by construction.
 """
 
 __version__ = "0.1.0"
+
+from .pipeline import SketchSpec, SketchResult, build_sketches, plan_partitions  # noqa: E402,F401
+from .checkpoint import run_checkpointed  # noqa: E402,F401
+from .schema import tokens_dataset, generate_tokens_parquet  # noqa: E402,F401
+from .partition import (  # noqa: E402,F401
+    HDRFEdgePartitioner,
+    StreamingPartitioner,
+    assign_sources_greedy,
+    assign_sources_salted,
+    stable_hash_partition,
+)

@@ -916,3 +916,41 @@ def embedding_lsh_neardup(sf_dir: str):
 
 ROWS_ONLY_QUERIES["shingle_jaccard_pairs"] = shingle_jaccard_pairs
 ROWS_ONLY_QUERIES["embedding_lsh_neardup"] = embedding_lsh_neardup
+
+
+def user_sessions(sf_dir: str):
+    """Sessionization: per-user session count with a 30-minute idle gap.
+
+    groupby(user).map_groups over the ts-sorted group (the guide's
+    streaming-shaped pattern — state never leaves the group); the oracle
+    reproduces it with lag() + a gap-count window.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        gaps = np.diff(ts.astype("datetime64[s]").astype(np.int64))
+        n_sessions = 1 + int((gaps > 30 * 60).sum())
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [len(g)],
+            "n_sessions": [n_sessions],
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+USER_SESSIONS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(1 + sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sessions
+FROM (
+    SELECT user_id,
+           epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+               AS gap_s
+    FROM events
+)
+GROUP BY user_id
+"""
+
+EXACT_QUERIES["user_sessions"] = (user_sessions, USER_SESSIONS_SQL)
