@@ -155,12 +155,18 @@ def minhash_lsh_pipeline(
     doc_col: str = "doc_id",
     text_col: str = "text",
     shingle: int = 1,
+    verify_mode: str = "broadcast",
 ):
     """MinHash-LSH near-dup candidate pairs, verified with exact Jaccard.
 
     shingle(word) -> minhash -> band -> bucket groupby -> pairs -> verify
     (the guide's canonical near-dup shape). Returns a Dataset of
     (doc_a, doc_b, jaccard) with jaccard >= threshold, doc_a < doc_b.
+
+    ``verify_mode``: 'broadcast' ships the doc -> shingle-hash-set table via
+    the object store (fine while it fits); 'join' is the data-scale path —
+    candidate pairs hash-join against a (doc_id, shingle hashes) Dataset
+    twice, so no node ever holds the full set table.
     """
     import ray
 
@@ -201,8 +207,12 @@ def minhash_lsh_pipeline(
     cand = buckets.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
     cand = dedup_pairs(cand)
 
+    if verify_mode == "join":
+        return _verify_pairs_join(ds, cand, jaccard_threshold, doc_col,
+                                  text_col, shingle)
+
     # exact verification: broadcast doc -> word-hash set (correctness-scale
-    # only; at data scale replace with a repartition join keyed by doc_id)
+    # path; verify_mode='join' is the keyed-shuffle alternative)
     word_sets = {}
     for bt in ds.select_columns([doc_col, text_col]).iter_batches(batch_format="pandas"):
         for did, txt in zip(bt[doc_col], bt[text_col]):
@@ -319,3 +329,45 @@ def simhash_pipeline(ds, *, hamming_threshold: int = 3,
 
     pairs = chunked.groupby(["chunk_id", "chunk"]).map_groups(_pairs, batch_format="pandas")
     return dedup_pairs(pairs, extra_col="hamming")
+
+
+def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
+                       text_col: str, shingle: int):
+    """Scale-path pair verification: two hash joins against the shingle
+    signature Dataset (keyed shuffles; nothing broadcast)."""
+    import pyarrow as pa
+
+    def sigs(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = []
+        for txt in batch[text_col]:
+            sh = _shingles(txt.split(" "), shingle)
+            # bytes payload: Arrow hash joins reject list-typed non-key cols
+            hs.append(np.unique(hash_str(np.array(sh, dtype=object)))
+                      .astype("<u8").tobytes())
+        return pd.DataFrame({doc_col: batch[doc_col], "hashes": hs})
+
+    sig_ds = ds.select_columns([doc_col, text_col]).map_batches(
+        sigs, batch_format="pandas")
+
+    j1 = cand.join(sig_ds, join_type="inner", num_partitions=8,
+                   on=("doc_a",), right_on=(doc_col,), right_suffix="_a")
+    j1 = j1.map_batches(lambda b: b.rename(columns={"hashes": "hashes_a"}),
+                        batch_format="pandas")
+    j2 = j1.join(sig_ds, join_type="inner", num_partitions=8,
+                 on=("doc_b",), right_on=(doc_col,), right_suffix="_b")
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        jac = np.empty(len(batch), dtype=np.float64)
+        for i, (sa, sb) in enumerate(zip(batch["hashes_a"], batch["hashes"])):
+            sa = np.frombuffer(sa, dtype="<u8")
+            sb = np.frombuffer(sb, dtype="<u8")
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            jac[i] = inter / (len(sa) + len(sb) - inter)
+        keep = jac >= threshold
+        out = batch[["doc_a", "doc_b"]].copy()
+        out["jaccard"] = jac.round(6)
+        return out[keep]
+
+    return j2.map_batches(verify, batch_format="pandas")

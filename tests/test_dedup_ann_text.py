@@ -222,3 +222,13 @@ class TestScalePathVariants:
         assert _shingles(["a", "b", "c"], 2) == ["a b", "b c"]
         assert _shingles(["a"], 3) == ["a"]
         assert _shingles(["a", "b"], 1) == ["a", "b"]
+
+    def test_minhash_join_verify_matches_broadcast(self, sf_small):
+        """The data-scale verification path (two hash joins against the
+        signature Dataset) must equal the broadcast path exactly."""
+        b = minhash_lsh_pipeline(docs_ds(sf_small),
+                                 jaccard_threshold=0.95).to_pandas()
+        j = minhash_lsh_pipeline(docs_ds(sf_small), jaccard_threshold=0.95,
+                                 verify_mode="join").to_pandas()
+        assert set(zip(b["doc_a"], b["doc_b"])) == set(zip(j["doc_a"], j["doc_b"]))
+        assert len(j) > 0
