@@ -120,7 +120,8 @@ class SketchUpdater:
 
     def __init__(self, specs: list[SketchSpec], k: int, amap_ref=None,
                  skip_partitions: frozenset | None = None,
-                 global_per_pid: bool = True):
+                 global_per_pid: bool = True,
+                 head_sources: frozenset | None = None):
         self.specs = specs
         self.k = k
         self.skip = skip_partitions or frozenset()
@@ -129,6 +130,10 @@ class SketchUpdater:
         # global partial per batch — k-fold fewer partial bytes through the
         # merge shuffle; used by the non-checkpointed pipeline.
         self.global_per_pid = global_per_pid
+        # head/tail split for huge source vocabularies: sources outside
+        # ``head_sources`` fold into one "src:__tail__" scope per (batch,
+        # pid) so partial count is bounded by |head| + k, not |sources|.
+        self.head = head_sources
         if amap_ref is not None:
             import ray
 
@@ -231,8 +236,10 @@ class SketchUpdater:
         rb = np.searchsorted(combo_of_row[rorder], combos)
         rb = np.append(rb, len(combo_of_row))
 
-        # ---- per-source partials, keyed (source, pid)
+        # ---- per-source partials, keyed (source, pid); tail sources (when
+        # a head set is configured) accumulate into one scope per pid
         if per_source:
+            tail: dict[int, list] = {}
             for j, cid in enumerate(combos):
                 pid = int(cid) // n_src
                 if pid in self.skip:
@@ -241,8 +248,29 @@ class SketchUpdater:
                 uq = utok[cbounds[j]:cbounds[j + 1]]
                 uc = cnt[cbounds[j]:cbounds[j + 1]]
                 rsl = rorder[rb[j]:rb[j + 1]]
+                if self.head is not None and source not in self.head:
+                    slot = tail.setdefault(pid, [[], [], [], 0])
+                    slot[0].append(uq)
+                    slot[1].append(uc)
+                    slot[2].append(rsl)
+                    slot[3] += int(uc.sum())
+                    continue
                 update_scope(f"src:{source}", pid, per_source, uq, uc,
                              int(uc.sum()), n_tok[rsl], len(rsl))
+            for pid, (uqs, ucs, rsls, ntoks) in sorted(tail.items()):
+                cu = np.concatenate(uqs)
+                cc = np.concatenate(ucs)
+                order = np.argsort(cu, kind="stable")
+                cu, cc = cu[order], cc[order]
+                e = np.empty(len(cu), dtype=bool)
+                e[0] = True
+                np.not_equal(cu[1:], cu[:-1], out=e[1:])
+                s = np.flatnonzero(e)
+                uq = cu[s]
+                uc = np.add.reduceat(cc, s)
+                rsl = np.concatenate(rsls)
+                update_scope("src:__tail__", pid, per_source, uq, uc,
+                             ntoks, n_tok[rsl], len(rsl))
 
         # ---- global-scope partials, one per partition present in the batch
         # (keeps every partition checkpoint self-contained for resume);
@@ -294,7 +322,7 @@ class SketchUpdater:
 
 
 def make_updater_fn(specs, k, amap_ref=None, skip_partitions=None,
-                    global_per_pid=True):
+                    global_per_pid=True, head_sources=None):
     """Stateless task-pool wrapper around SketchUpdater.
 
     The updater's only state (specs, k, the broadcast plan ref) is tiny, so
@@ -307,7 +335,7 @@ def make_updater_fn(specs, k, amap_ref=None, skip_partitions=None,
 
     def update_batch(batch: pa.Table) -> pa.Table:
         return SketchUpdater(specs, k, amap_ref, skip_partitions,
-                             global_per_pid)(batch)
+                             global_per_pid, head_sources)(batch)
 
     return update_batch
 
@@ -407,6 +435,7 @@ def build_sketches(
     batch_size: int = 8192,
     concurrency: int | tuple | None = None,
     plan: bool = True,
+    max_tracked_sources: int | None = None,
 ) -> SketchResult:
     """Run the full sketch pipeline over a tokens Dataset.
 
@@ -425,8 +454,13 @@ def build_sketches(
     metrics: dict[str, Any] = {"k": k, "batch_size": batch_size}
 
     amap_ref = None
+    head = None
     if plan:
-        amap, sizes, _ = plan_partitions(ds.select_columns(["source", "n_tok"]), k)
+        amap, sizes, agg = plan_partitions(ds.select_columns(["source", "n_tok"]), k)
+        if max_tracked_sources is not None and len(agg) > max_tracked_sources:
+            top = agg.sort_values("sum(load)", ascending=False)
+            head = frozenset(top["source"].head(max_tracked_sources))
+            metrics["n_head_sources"] = len(head)
         metrics["plan_sec"] = time.perf_counter() - t0
         metrics["planned_imbalance"] = float(sizes.max() / sizes.mean()) if sizes.mean() else 0.0
         metrics["n_sources"] = len(amap)
@@ -436,7 +470,8 @@ def build_sketches(
     t1 = time.perf_counter()
     if concurrency is None:
         partials = ds.map_batches(
-            make_updater_fn(specs, k, amap_ref, global_per_pid=False),
+            make_updater_fn(specs, k, amap_ref, global_per_pid=False,
+                            head_sources=head),
             batch_format="pyarrow",
             batch_size=batch_size,
         )

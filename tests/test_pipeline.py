@@ -142,3 +142,24 @@ class TestPipelineInvariance:
                            concurrency=2)
         assert np.array_equal(t.get("hll").registers, a.get("hll").registers)
         assert t.counts[(SCOPE_GLOBAL, "kll")] == a.counts[(SCOPE_GLOBAL, "kll")]
+
+    def test_head_tail_source_split(self, sf_small):
+        """max_tracked_sources folds tail sources into one scope per
+        partition; global registers stay byte-identical and head scopes
+        match the untracked run."""
+        full = build_sketches(tokens_dataset(sf_small), k=4, batch_size=250)
+        ht = build_sketches(tokens_dataset(sf_small), k=4, batch_size=250,
+                            max_tracked_sources=5)
+        assert np.array_equal(full.get("hll").registers, ht.get("hll").registers)
+        assert ht.metrics["n_head_sources"] == 5
+        head = [s for s in ht.scopes("hll")
+                if s not in ("__global__", "src:__tail__")]
+        assert len(head) == 5
+        for scope in head:
+            assert ht.get("hll", scope).estimate() == \
+                full.get("hll", scope).estimate()
+        # tail scope absorbs everything else and conserves mass
+        nr_tail, nt_tail = ht.counts[("src:__tail__", "hll")]
+        nr_full = sum(full.counts[(s, "hll")][0] for s in full.scopes("hll")
+                      if s != "__global__" and s not in head)
+        assert nr_tail == nr_full
