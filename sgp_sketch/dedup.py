@@ -200,9 +200,11 @@ def minhash_lsh_pipeline(
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[doc_col].to_numpy())
         if len(ids) < 2 or len(ids) > 1000:  # guard degenerate buckets
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
         ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+        return pd.DataFrame({"doc_a": ids[ii].astype("int64"),
+                             "doc_b": ids[jj].astype("int64")})
 
     cand = buckets.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
     cand = dedup_pairs(cand)
@@ -222,7 +224,9 @@ def minhash_lsh_pipeline(
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
         sets = ray.get(ref)  # worker-local plasma read, effectively cached
         jac = np.empty(len(batch), dtype=np.float64)
         for i, (x, y) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
@@ -270,7 +274,9 @@ def jaccard_pairs_exact(
                     rows_a.append(did)
                     rows_b.append(other)
                     jac.append(round(j, 6))
-        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "jaccard": jac})
+        return pd.DataFrame({"doc_a": pd.Series(rows_a, dtype="int64"),
+                             "doc_b": pd.Series(rows_b, dtype="int64"),
+                             "jaccard": pd.Series(jac, dtype="float64")})
 
     return ds.select_columns([doc_col]).map_batches(all_pairs, batch_format="pandas")
 
