@@ -17,12 +17,16 @@ import pyarrow as pa
 
 
 def _stack(batch_col) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix, low-copy."""
+    """list<float> / fixed_size_list<float> column -> (n, d) float64 matrix,
+    low-copy."""
     arr = batch_col
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    d = arr.value_lengths()[0].as_py()
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+    else:
+        d = arr.value_lengths()[0].as_py()
     return flat.reshape(-1, d)
 
 
@@ -126,7 +130,11 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
             buckets = ((x @ self.planes) > 0).astype(np.int64) @ self.weights
             mask = np.isin(buckets, list(self.ring))
             if not mask.any():
-                return pd.DataFrame({"query_id": [], id_col: [], "sim": []})
+                return pd.DataFrame({
+                    "query_id": pd.Series([], dtype=np.asarray(self.qids).dtype),
+                    id_col: pd.Series([], dtype=ids.dtype),
+                    "sim": pd.Series([], dtype="float64"),
+                })
             x = x[mask]
             ids = ids[mask]
             sims = self.qm @ x.T
@@ -156,44 +164,90 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
 
 
 def cosine_neardup_pairs(ds, threshold: float = 0.95,
-                         id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Embedding near-dup: all pairs with cosine >= threshold.
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         target_block_rows: int = 8192):
+    """Embedding near-dup: EXACT all pairs with cosine >= threshold,
+    distributed as a block-nested-loop self-join.
 
-    Each batch multiplies against the broadcast normalized matrix (built
-    once); emits (id_a < id_b, sim). Correctness-scale kernel; the scale
-    path buckets by LSH first (same signatures as lsh_topk).
+    All-pairs is inherently O(n^2) work; the scalable exact shape is: each
+    input block normalizes once and stays in the object store as an Arrow
+    ref; a tiny Dataset of block-pair indices (i <= j) fans out; each task
+    fetches exactly TWO blocks from plasma and emits its matmul's hits.
+    Neither the driver nor any worker ever holds the full matrix — peak
+    per-task memory is two blocks + one (b x b) sim tile. (The probabilistic
+    alternative that skips the n^2 entirely is lsh_neardup_pairs below.)
     """
     import ray
+    import ray.data as rd
 
-    mats = []
-    ids = []
-    for bt in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
-        mats.append(_normalize(_stack(bt[vec_col])))
-        ids.append(bt[id_col].to_numpy(zero_copy_only=False))
-    full = np.vstack(mats)
-    full_ids = np.concatenate(ids)
-    ref = ray.put((full, full_ids))
+    def prep(t: pa.Table) -> pa.Table:
+        m = _normalize(_stack(t[vec_col]))
+        d = m.shape[1]
+        vecs = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), pa.float64()), d)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.Table.from_arrays([ids, vecs], names=[id_col, "nvec"])
 
-    class Pairs:
+    normed = ds.select_columns([id_col, vec_col]).map_batches(
+        prep, batch_format="pyarrow")
+    # explicit block-size control (SURVEY §2.6 O3): the O(B^2) task count
+    # and per-task tile memory both key off block row count, so coalesce /
+    # split to ~target_block_rows before staging
+    n = ds.count()
+    n_target = max(1, -(-int(n) // target_block_rows))
+    normed = normed.repartition(n_target)
+    # materialize ONCE into object-store blocks; only refs reach the driver
+    block_refs = normed.to_arrow_refs()
+    n_blocks = len(block_refs)
+    refs_handle = ray.put(block_refs)
+
+    pair_rows = [{"bi": i, "bj": j}
+                 for i in range(n_blocks) for j in range(i, n_blocks)]
+    pair_ds = rd.from_items(pair_rows)
+
+    class ScoreBlockPair:
+        """Actor-pool stage: per (bi, bj) row, fetch the two staged blocks
+        (worker-local plasma reads after first touch) and emit hits."""
+
         def __init__(self):
-            self.m, self.ids = ray.get(ref)
+            self.refs = ray.get(refs_handle)
+            self.cache: dict[int, tuple] = {}
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            x = _normalize(_stack(batch[vec_col]))
-            bids = batch[id_col].to_numpy(zero_copy_only=False)
-            sims = x @ self.m.T
-            ii, jj = np.nonzero(sims >= threshold)
-            a = bids[ii]
-            b = self.ids[jj]
-            keep = a < b
-            return pd.DataFrame({
-                "id_a": a[keep], "id_b": b[keep],
-                "sim": sims[ii, jj][keep].round(6),
-            })
+        def _block(self, i: int):
+            blk = self.cache.get(i)
+            if blk is None:
+                t = ray.get(self.refs[i])
+                blk = (t[id_col].to_numpy(zero_copy_only=False),
+                       _stack(t["nvec"]))
+                if len(self.cache) > 8:  # bound the per-actor block cache
+                    self.cache.clear()
+                self.cache[i] = blk
+            return blk
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for bi, bj in zip(batch["bi"], batch["bj"]):
+                ids_a, ma = self._block(int(bi))
+                ids_b, mb = self._block(int(bj))
+                sims = ma @ mb.T
+                ii, jj = np.nonzero(sims >= threshold)
+                a, b = ids_a[ii], ids_b[jj]
+                keep = a < b
+                outs.append(pd.DataFrame({
+                    "id_a": a[keep], "id_b": b[keep],
+                    "sim": sims[ii, jj][keep].round(6),
+                }))
+            if not outs:
+                return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                     "id_b": pd.Series([], dtype="int64"),
+                                     "sim": pd.Series([], dtype="float64")})
+            return pd.concat(outs, ignore_index=True)
 
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    return ds.map_batches(Pairs, batch_format="pyarrow",
-                          concurrency=max(2, ncpu // 2))
+    return pair_ds.map_batches(ScoreBlockPair, batch_format="pandas",
+                               batch_size=1, concurrency=max(2, ncpu // 2))
 
 
 def lsh_neardup_pairs(ds, threshold: float = 0.9, n_bits: int = 8, seed: int = 11,
@@ -211,26 +265,31 @@ def lsh_neardup_pairs(ds, threshold: float = 0.9, n_bits: int = 8, seed: int = 1
     lsh = HyperplaneLSH(dim, n_bits, seed)
     pref = ray.put(lsh.planes)
 
-    def bucketize(batch: pa.Table) -> pd.DataFrame:
+    def bucketize(batch: pa.Table) -> pa.Table:
         planes = ray.get(pref)
         x = _normalize(_stack(batch[vec_col]))
         weights = (1 << np.arange(planes.shape[1], dtype=np.int64))
         buckets = ((x @ planes) > 0).astype(np.int64) @ weights
-        return pd.DataFrame({
-            id_col: batch[id_col].to_numpy(zero_copy_only=False),
-            "bucket": buckets,
-            "vec": [row.tolist() for row in x],
-        })
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        # normalized vectors stay a zero-copy Arrow fixed-size-list column
+        # through the bucket shuffle (never per-row Python lists)
+        nvec = pa.FixedSizeListArray.from_arrays(
+            pa.array(x.reshape(-1), pa.float64()), x.shape[1])
+        return pa.Table.from_arrays(
+            [ids, pa.array(buckets, pa.int64()), nvec],
+            names=[id_col, "bucket", "nvec"])
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pa.Table) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
                                  "sim": pd.Series([], dtype="float64")})
-        ids = g[id_col].to_numpy()
-        m = np.array(g["vec"].tolist(), dtype=np.float64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        m = _stack(g["nvec"])
         sims = m @ m.T
         ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
         a, b = ids[ii], ids[jj]
@@ -240,4 +299,4 @@ def lsh_neardup_pairs(ds, threshold: float = 0.9, n_bits: int = 8, seed: int = 1
         return pd.DataFrame({"id_a": a2, "id_b": b2,
                              "sim": sims[ii, jj].round(6)})
 
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")

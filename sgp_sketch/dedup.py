@@ -7,9 +7,9 @@
 - unigram-Jaccard exact pairs (the oracle-checkable counterpart);
 - embedding-cosine near-dup (see ann.py for the kernel).
 
-Scale posture: signatures/buckets are the only shuffled payloads; the
-verification join broadcasts doc word-sets only at correctness scale and is
-documented to switch to a keyed repartition join at data scale.
+Scale posture: signatures/buckets are the only shuffled payloads; pair
+verification routes through two keyed hash joins by default (no node holds
+the corpus); the broadcast verifier is an explicit small-corpus opt-in.
 """
 
 from __future__ import annotations
@@ -57,6 +57,44 @@ def exact_dedup(ds, col: str = "text"):
 
 
 _DEDUP_BUCKETS = 64
+
+# Oversized-bucket pair generation: emit pairs in row-chunks of this size so
+# peak temporary memory is O(chunk * n), not O(n^2), while staying EXACT.
+_PAIR_CHUNK = 1024
+
+
+def _empty_pairs(extra: str | None = None, extra_dtype: str = "float64") -> pd.DataFrame:
+    cols = {"doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64")}
+    if extra:
+        cols[extra] = pd.Series([], dtype=extra_dtype)
+    return pd.DataFrame(cols)
+
+
+def _all_pairs_sorted(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All (a < b) pairs from a SORTED id array — exact for any size.
+
+    Buckets holding >1000 docs (mass near-duplication: every member shares
+    every band) are NOT dropped — correctness requires every candidate —
+    but pair generation chunks the row axis so temporaries stay bounded.
+    The output is inherently O(n^2); downstream verification filters it.
+    """
+    n = len(ids)
+    if n <= _PAIR_CHUNK:
+        ii, jj = np.triu_indices(n, k=1)
+        return ids[ii], ids[jj]
+    a_chunks, b_chunks = [], []
+    for lo in range(0, n - 1, _PAIR_CHUNK):
+        hi = min(lo + _PAIR_CHUNK, n)
+        sub = ids[lo:hi]
+        ii, jj = np.triu_indices(hi - lo, k=1)
+        a_chunks.append(sub[ii])
+        b_chunks.append(sub[jj])
+        tail = ids[hi:]
+        if len(tail):
+            a_chunks.append(np.repeat(sub, len(tail)))
+            b_chunks.append(np.tile(tail, len(sub)))
+    return np.concatenate(a_chunks), np.concatenate(b_chunks)
 
 
 def dedup_pairs(cand, extra_col: str | None = None):
@@ -155,7 +193,7 @@ def minhash_lsh_pipeline(
     doc_col: str = "doc_id",
     text_col: str = "text",
     shingle: int = 1,
-    verify_mode: str = "broadcast",
+    verify_mode: str = "join",
 ):
     """MinHash-LSH near-dup candidate pairs, verified with exact Jaccard.
 
@@ -163,10 +201,11 @@ def minhash_lsh_pipeline(
     (the guide's canonical near-dup shape). Returns a Dataset of
     (doc_a, doc_b, jaccard) with jaccard >= threshold, doc_a < doc_b.
 
-    ``verify_mode``: 'broadcast' ships the doc -> shingle-hash-set table via
-    the object store (fine while it fits); 'join' is the data-scale path —
-    candidate pairs hash-join against a (doc_id, shingle hashes) Dataset
-    twice, so no node ever holds the full set table.
+    ``verify_mode``: 'join' (DEFAULT — the data-scale path) hash-joins
+    candidate pairs against a (doc_id, shingle hashes) Dataset twice, so no
+    node ever holds the full set table; 'broadcast' ships the full
+    doc -> shingle-hash-set table via the object store — an explicit
+    small-corpus opt-in only.
     """
     import ray
 
@@ -199,12 +238,14 @@ def minhash_lsh_pipeline(
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[doc_col].to_numpy())
-        if len(ids) < 2 or len(ids) > 1000:  # guard degenerate buckets
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ii].astype("int64"),
-                             "doc_b": ids[jj].astype("int64")})
+        if len(ids) < 2:
+            return _empty_pairs()
+        if len(ids) > 1000:
+            print(f"[minhash-lsh] oversized band bucket: {len(ids)} docs "
+                  f"(band={g['band'].iloc[0]}) — emitting all pairs chunked")
+        a, b = _all_pairs_sorted(ids)
+        return pd.DataFrame({"doc_a": a.astype("int64"),
+                             "doc_b": b.astype("int64")})
 
     cand = buckets.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
     cand = dedup_pairs(cand)
@@ -321,8 +362,11 @@ def simhash_pipeline(ds, *, hamming_threshold: int = 3,
         g = g.sort_values(doc_col)
         ids = g[doc_col].to_numpy()
         sigs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2 or len(ids) > 1000:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        if len(ids) < 2:
+            return _empty_pairs("hamming", "int64")
+        if len(ids) > 1000:
+            print(f"[simhash] oversized chunk bucket: {len(ids)} docs — "
+                  f"emitting all pairs chunked")
         ii, jj = np.triu_indices(len(ids), k=1)
         x = sigs[ii] ^ sigs[jj]
         ham = np.zeros(len(x), dtype=np.int64)
@@ -364,7 +408,7 @@ def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+            return _empty_pairs("jaccard")
         jac = np.empty(len(batch), dtype=np.float64)
         for i, (sa, sb) in enumerate(zip(batch["hashes_a"], batch["hashes"])):
             sa = np.frombuffer(sa, dtype="<u8")

@@ -152,6 +152,18 @@ class SketchUpdater:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, lens, n_tok, codes, sources = _batch_arrays(batch)
+        # 31-bit token-id contract: the combined dedup key packs token ids
+        # into the low 31 bits of a uint64; a negative id would sign-extend
+        # into the combo bits and silently corrupt per-scope counts. The CLI
+        # accepts arbitrary parquet, so fail loudly instead (one min/max
+        # pass per batch — noise next to the key sort).
+        if len(flat):
+            lo, hi = int(flat.min()), int(flat.max())
+            if lo < 0 or hi > 0x7FFFFFFF:
+                raise ValueError(
+                    f"token ids must be in [0, 2^31) (got range [{lo}, {hi}]): "
+                    "the sketch updater packs ids into 31 bits of its dedup key"
+                )
         # doc_ids only materialize when a salted source needs row-level shards
         doc_ids = None
         if self.amap is not None and any(

@@ -615,7 +615,9 @@ def hdrf_user_event_graph(sf_dir: str):
 
 def minhash_lsh_pairs(sf_dir: str):
     """MinHash-LSH near-dup pairs at tau=0.95 (b=32, r=4 -> recall ~1-3e-24;
-    empirically identical to the exact-Jaccard oracle on this data)."""
+    empirically identical to the exact-Jaccard oracle on this data).
+    Verification runs in join mode (two keyed hash joins — the data-scale
+    default; nothing broadcast)."""
     from .dedup import minhash_lsh_pipeline
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -51,10 +51,19 @@ def _idx_rho(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
     nbits = 64 - p
     rho = np.empty(len(h), dtype=np.uint8)
     nz = w != 0
-    # bit_length(w) = floor(log2(w)) + 1 for w > 0
+    # bit_length(w) = floor(log2(w)) + 1, computed EXACTLY for any p >= 4 by
+    # splitting into 32-bit halves: values < 2^32 convert to float64 exactly,
+    # and correctly-rounded log2 never rounds across an integer boundary
+    # there (log2(2^k - 1) is ~2^-k below k — far more than one ulp at k<=32).
+    # A single float64 log2 over the full 60-bit value is NOT exact at p<14.
     bl = np.zeros(len(h), dtype=np.int64)
-    wf = w[nz].astype(np.float64)
-    bl[nz] = np.floor(np.log2(wf)).astype(np.int64) + 1
+    hi = (w >> np.uint64(32)).astype(np.int64)
+    lo = (w & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    mh = hi > 0
+    ml = (~mh) & nz
+    with np.errstate(divide="ignore"):
+        bl[mh] = 33 + np.floor(np.log2(hi[mh].astype(np.float64))).astype(np.int64)
+        bl[ml] = 1 + np.floor(np.log2(lo[ml].astype(np.float64))).astype(np.int64)
     rho[nz] = (nbits - bl[nz] + 1).astype(np.uint8)
     rho[~nz] = np.uint8(nbits + 1)
     return idx, rho

@@ -133,6 +133,13 @@ def partition_graph_stream(adj_ds, k: int, algorithm: str = "ldg", *,
     """
     from .partition import StreamingPartitioner
 
+    # ORDER-DEFINED algorithm: Ray Data does not preserve input order unless
+    # asked — without this, LDG/Fennel assignments (and edge-cut metrics)
+    # vary run-to-run, breaking the seeded-determinism goal (SURVEY §2.6 O4).
+    import ray.data as rd
+
+    rd.DataContext.get_current().execution_options.preserve_order = True
+
     if total_vertices is None:
         total_vertices = adj_ds.count()
     sp = StreamingPartitioner(
