@@ -448,13 +448,19 @@ def build_sketches(
     concurrency: int | tuple | None = None,
     plan: bool = True,
     max_tracked_sources: int | None = None,
+    plan_ds=None,
 ) -> SketchResult:
     """Run the full sketch pipeline over a tokens Dataset.
 
     ``plan=True`` runs the greedy salted partition planner (one cheap
     pre-pass over (source, n_tok) only); ``plan=False`` falls back to hash
     partitioning of sources (the reference's no-information baseline,
-    EdgeCutSGP.java:112-133).
+    EdgeCutSGP.java:112-133). ``plan_ds`` optionally plans from a SAMPLE
+    dataset (e.g. the first shard of a many-shard corpus): the greedy
+    assigner only needs *relative* source loads, and Zipf-style source
+    mixes are shard-stable, so a sampled plan costs a fraction of the full
+    pre-pass while the sketch results stay byte-identical (the plan only
+    routes partials; every partial still merges exactly once).
     """
     import ray
 
@@ -468,7 +474,8 @@ def build_sketches(
     amap_ref = None
     head = None
     if plan:
-        amap, sizes, agg = plan_partitions(ds.select_columns(["source", "n_tok"]), k)
+        src = plan_ds if plan_ds is not None else ds
+        amap, sizes, agg = plan_partitions(src.select_columns(["source", "n_tok"]), k)
         if max_tracked_sources is not None and len(agg) > max_tracked_sources:
             top = agg.sort_values("sum(load)", ascending=False)
             head = frozenset(top["source"].head(max_tracked_sources))

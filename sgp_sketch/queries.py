@@ -347,7 +347,7 @@ def quality_scores(sf_dir: str):
     from .text import quality_features
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(quality_features, batch_format="pandas")
+    return ds.map_batches(quality_features, batch_format="pyarrow")
 
 
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPLIST)
@@ -598,18 +598,26 @@ def partition_plan_hash(sf_dir: str):
 
 def hdrf_user_event_graph(sf_dir: str):
     """HDRF vertex-cut over the (user_id, event_type) bipartite edge stream
-    of the events table; returns per-edge partitions."""
+    of the events table; returns per-edge partitions.
+
+    HDRF is inherently order-defined and sequential (per-edge state), so
+    the driver consumes a STREAM of record batches in file order — O(batch)
+    memory, never the whole table — and feeds the partitioner chunk by
+    chunk. Testdata files are written in event_id order."""
     from .partition import HDRFEdgePartitioner
 
-    ev = pq.read_table(f"{sf_dir}/events.parquet",
-                       columns=["event_id", "user_id", "event_type"])
-    df = ev.to_pandas().sort_values("event_id")  # stream order = event order
     h = HDRFEdgePartitioner(k=8, seed=42)
-    parts = h.assign_edges([f"u{u}" for u in df["user_id"]],
-                           df["event_type"].tolist())
+    ids, parts = [], []
+    pf = pq.ParquetFile(f"{sf_dir}/events.parquet")
+    for rb in pf.iter_batches(columns=["event_id", "user_id", "event_type"],
+                              batch_size=16384):
+        p = h.assign_edges([f"u{u}" for u in rb["user_id"].to_pylist()],
+                           rb["event_type"].to_pylist())
+        ids.append(rb["event_id"].to_numpy(zero_copy_only=False))
+        parts.append(p.astype(np.int64))
     return pd.DataFrame({
-        "event_id": df["event_id"].to_numpy(),
-        "partition_id": parts.astype(np.int64),
+        "event_id": np.concatenate(ids),
+        "partition_id": np.concatenate(parts),
     })
 
 
@@ -641,7 +649,7 @@ def langid_preds(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    return ds.map_batches(LangId, batch_format="pandas",
+    return ds.map_batches(LangId, batch_format="pyarrow",
                           concurrency=max(2, ncpu // 2))
 
 
@@ -920,26 +928,51 @@ ROWS_ONLY_QUERIES["shingle_jaccard_pairs"] = shingle_jaccard_pairs
 ROWS_ONLY_QUERIES["embedding_lsh_neardup"] = embedding_lsh_neardup
 
 
+_SESSION_BUCKETS = 64
+
+
 def user_sessions(sf_dir: str):
     """Sessionization: per-user session count with a 30-minute idle gap.
 
-    groupby(user).map_groups over the ts-sorted group (the guide's
-    streaming-shaped pattern — state never leaves the group); the oracle
-    reproduces it with lag() + a gap-count window.
+    Scale shape: users bucket to a SMALL fixed key count (one map_groups
+    per USER would pay Ray's ~10ms/group overhead a billion times); each
+    bucket sessionizes ALL its users vectorized — one sort by (user, ts),
+    one np.diff, boundary-masked gap counts via one segment-sum. The
+    oracle reproduces it with lag() + a gap-count window.
     """
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().to_numpy()
-        gaps = np.diff(ts.astype("datetime64[s]").astype(np.int64))
-        n_sessions = 1 + int((gaps > 30 * 60).sum())
+    def _bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"],
+                                    pa.scalar(_SESSION_BUCKETS - 1)),
+                    pa.int64())
+        return t.append_column("bucket", b)
+
+    def sessions(g: pa.Table) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "n_sessions": pd.Series([], dtype="int64")})
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[s]").astype(np.int64)
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        brk = np.zeros(len(u), dtype=np.int64)
+        brk[1:] = (~new[1:]) & ((ts[1:] - ts[:-1]) > 30 * 60)
+        starts = np.flatnonzero(new)
+        n_events = np.diff(np.append(starts, len(u)))
+        n_sessions = 1 + np.add.reduceat(brk, starts)
         return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_events": [len(g)],
-            "n_sessions": [n_sessions],
+            "user_id": u[starts],
+            "n_events": n_events.astype(np.int64),
+            "n_sessions": n_sessions.astype(np.int64),
         })
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    bucketed = ds.map_batches(_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(sessions,
+                                                 batch_format="pyarrow")
 
 
 USER_SESSIONS_SQL = """

@@ -20,6 +20,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .hashing import hash_str
+
 
 ADJ_SCHEMA = pa.schema(
     [
@@ -101,21 +103,64 @@ def read_snap_edges(path: str):
     return rd.read_text(path).map_batches(parse, batch_format="pyarrow")
 
 
-def snap_to_adjacency(edges):
-    """Edge list -> adjacency (groupby-concat; snap2adj.scala:11-16 shape).
+_ADJ_BUCKETS = 64
 
-    Sorted, deduped neighbor lists per vertex (the reference uses a Set).
+
+def snap_to_adjacency(edges, n_buckets: int = _ADJ_BUCKETS):
+    """Edge list -> adjacency (snap2adj.scala:11-16 semantics: sorted,
+    deduped neighbor list per vertex).
+
+    Scale shape: a groupby on the raw vertex id would pay Ray's ~10ms
+    per-GROUP overhead once per vertex (dead at 41M vertices). Instead the
+    vertex space buckets to a SMALL fixed key count; each bucket builds ALL
+    its adjacency rows vectorized — one Arrow sort by (src, dst), one
+    consecutive-dedup pass, and one ``ListArray.from_arrays`` over the
+    run-length offsets. Only (src, dst) pairs cross the shuffle.
     """
 
-    def build(g: pd.DataFrame) -> pd.DataFrame:
-        nbrs = sorted(set(g["dst"]))
-        return pd.DataFrame({
-            "vertex": [g["src"].iloc[0]],
-            "degree": [len(nbrs)],
-            "neighbors": [nbrs],
-        })
+    def _bucket(t: pa.Table) -> pa.Table:
+        src = t["src"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        # hash only the per-batch DICTIONARY of vertices, not every row
+        de = src.dictionary_encode()
+        dhash = hash_str(np.asarray(de.dictionary.to_pylist(), dtype=object))
+        bucket = (dhash % np.uint64(n_buckets)).astype(np.int64)[
+            de.indices.to_numpy(zero_copy_only=False)
+        ]
+        return t.append_column("bucket", pa.array(bucket, pa.int64()))
 
-    return edges.groupby("src").map_groups(build, batch_format="pandas")
+    def _build(g: pa.Table) -> pa.Table:
+        g = g.select(["src", "dst"]).sort_by(
+            [("src", "ascending"), ("dst", "ascending")]
+        )
+        sc = g["src"].combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        dc = g["dst"].combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(sc) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64()),
+                 pa.array([], pa.list_(pa.string()))], schema=ADJ_SCHEMA)
+        # consecutive dedup of (src, dst): the sort made equal pairs adjacent
+        keep = np.ones(len(sc), dtype=bool)
+        keep[1:] = (sc[1:] != sc[:-1]) | (dc[1:] != dc[:-1])
+        t2 = g.filter(pa.array(keep))
+        sc2 = sc[keep]
+        new_src = np.ones(len(sc2), dtype=bool)
+        new_src[1:] = sc2[1:] != sc2[:-1]
+        starts = np.flatnonzero(new_src)
+        degrees = np.diff(np.append(starts, len(sc2)))
+        offsets = np.concatenate(([0], np.cumsum(degrees))).astype(np.int32)
+        neighbors = pa.ListArray.from_arrays(
+            pa.array(offsets), t2["dst"].combine_chunks())
+        vertices = t2["src"].combine_chunks().filter(pa.array(new_src))
+        return pa.Table.from_arrays(
+            [vertices, pa.array(degrees, pa.int64()), neighbors],
+            schema=ADJ_SCHEMA)
+
+    bucketed = edges.map_batches(_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(_build, batch_format="pyarrow")
 
 
 def partition_graph_stream(adj_ds, k: int, algorithm: str = "ldg", *,

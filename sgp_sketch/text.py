@@ -12,8 +12,34 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from .hashing import hash_str
+
+
+def _segment_membership(flat: pa.Array, value_set: pa.Array,
+                        offsets: np.ndarray) -> np.ndarray:
+    """Per-doc membership counts: one vectorized ``is_in`` over the exploded
+    word stream + one segment-sum (``np.add.reduceat``) back to docs."""
+    if len(offsets) == 0:
+        return np.zeros(0, dtype=np.int64)
+    hits = pc.is_in(flat, value_set=value_set).to_numpy(zero_copy_only=False)
+    return np.add.reduceat(hits.astype(np.int64), offsets)
+
+
+def _split_words(text) -> tuple[pa.Array, np.ndarray, np.ndarray, pa.Array]:
+    """Split on spaces: (list array, per-doc lens, segment offsets, flat).
+
+    ``split_pattern`` never emits an empty list for a non-null string (the
+    empty string splits to [""]), so every reduceat segment is non-empty.
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern(text, " ")
+    lens = words.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))[:-1].astype(np.int64)
+    return words, lens, offsets, words.flatten()
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 LANG_PROFILES = {
@@ -35,29 +61,41 @@ class LangId:
 
     Scores each doc by per-language stopword hit counts over whitespace
     words; falls back to 'en' when no profile matches. Deterministic.
+    Fully vectorized: the word stream explodes ONCE per batch; each
+    language profile is one Arrow ``is_in`` + one segment-sum.
     """
 
     def __init__(self):
-        self.profiles = {lang: frozenset(ws) for lang, ws in LANG_PROFILES.items()}
-        self.langs = sorted(self.profiles)
+        self.value_sets = {lang: pa.array(sorted(ws))
+                           for lang, ws in LANG_PROFILES.items()}
+        self.langs = sorted(self.value_sets)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].str.lower().str.split(" ")
+    def __call__(self, batch: pa.Table | pd.DataFrame):
+        as_pandas = isinstance(batch, pd.DataFrame)
+        if as_pandas:
+            batch = pa.Table.from_pandas(batch, preserve_index=False)
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        _, lens, offsets, flat = _split_words(pc.utf8_lower(text))
         scores = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
         for j, lang in enumerate(self.langs):
-            prof = self.profiles[lang]
-            scores[:, j] = words.map(lambda ws: sum(w in prof for w in ws)).to_numpy()
+            scores[:, j] = _segment_membership(flat, self.value_sets[lang],
+                                               offsets)
         best = scores.argmax(axis=1)
         no_hit = scores.max(axis=1) == 0
         pred = np.array(self.langs, dtype=object)[best]
         pred[no_hit] = "en"
-        out = batch[["doc_id"]].copy()
-        out["pred_lang"] = pred
-        return out
+        out = pa.Table.from_pydict({
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(pred.tolist(), pa.string()),
+        })
+        return out.to_pandas() if as_pandas else out
 
 
-def quality_features(batch: pd.DataFrame) -> pd.DataFrame:
-    """Per-doc quality features + a composite score.
+def quality_features(batch: pa.Table) -> pa.Table:
+    """Per-doc quality features + a composite score (vectorized: one word
+    explode + ``is_in`` + segment-sum; no per-row Python).
 
     The score formula is pure arithmetic over counts so the DuckDB oracle
     can reproduce it exactly (rounded):
@@ -66,11 +104,16 @@ def quality_features(batch: pd.DataFrame) -> pd.DataFrame:
       score     = 0.4*min(1, n_words/100) + 0.3*(1 - stop_hits/n_words)
                   + 0.3*min(1, n_chars/500)
     """
-    words = batch["text"].str.split(" ")
-    n_words = words.str.len().astype("int64")
-    stop = STOPWORDS
-    stop_hits = words.map(lambda ws: sum(w in stop for w in ws)).astype("int64")
-    n_chars = batch["text"].str.len().astype("int64")
+    as_pandas = isinstance(batch, pd.DataFrame)
+    if as_pandas:
+        batch = pa.Table.from_pandas(batch, preserve_index=False)
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    _, lens, offsets, flat = _split_words(text)
+    n_words = lens
+    stop_hits = _segment_membership(flat, pa.array(sorted(STOPWORDS)), offsets)
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
     score = (
         0.4 * np.minimum(1.0, n_words / 100.0)
         + 0.3 * (1.0 - stop_hits / np.maximum(n_words, 1))
@@ -79,14 +122,15 @@ def quality_features(batch: pd.DataFrame) -> pd.DataFrame:
     # half-up fixed-point micro-units: deterministic across engines (numpy
     # round() is banker's, SQL round() is half-away — both drift on ties)
     quality_e6 = np.floor(score * 1_000_000 + 0.5).astype("int64")
-    return pd.DataFrame(
+    out = pa.Table.from_pydict(
         {
             "doc_id": batch["doc_id"],
-            "n_words": n_words,
-            "stop_hits": stop_hits,
-            "quality_e6": quality_e6,
+            "n_words": pa.array(n_words, pa.int64()),
+            "stop_hits": pa.array(stop_hits, pa.int64()),
+            "quality_e6": pa.array(quality_e6, pa.int64()),
         }
     )
+    return out.to_pandas() if as_pandas else out
 
 
 class TokenCounter:
