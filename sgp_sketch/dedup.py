@@ -236,18 +236,89 @@ def minhash_lsh_pipeline(
 
     buckets = ds.map_batches(signer, batch_format="pandas")
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[doc_col].to_numpy())
-        if len(ids) < 2:
-            return _empty_pairs()
-        if len(ids) > 1000:
-            print(f"[minhash-lsh] oversized band bucket: {len(ids)} docs "
-                  f"(band={g['band'].iloc[0]}) — emitting all pairs chunked")
-        a, b = _all_pairs_sorted(ids)
-        return pd.DataFrame({"doc_a": a.astype("int64"),
-                             "doc_b": b.astype("int64")})
+    # ---- candidate generation via DISTINCT bucket sets.
+    # A near-dup cluster collides in (nearly) every band, so naive
+    # per-(band,bucket) pair expansion re-emits the same O(|C|^2) pairs up
+    # to ``bands`` times (measured 86M candidate rows for a 2.3k-doc
+    # cluster at sf0.1). Instead: (1) ONE shuffle routes bucket members by
+    # hash(band,bucket) into 64 fixed groups (never one Ray group per
+    # bucket — ~10ms/group overhead); (2) each group run-length-segments
+    # its buckets vectorized and emits one CANONICAL ids-blob per bucket;
+    # (3) a second tiny shuffle dedups identical blobs (byte equality —
+    # the same cluster across 32 bands collapses to one row); (4) pairs
+    # expand from distinct sets only, then dedup_pairs as usual.
+    def _route(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        bu = batch["bucket"].to_numpy().astype(np.uint64)
+        bd = batch["band"].to_numpy().astype(np.uint64)
+        out["skey"] = ((splitmix64(bu ^ splitmix64(bd)) %
+                        np.uint64(_DEDUP_BUCKETS)).astype(np.int64))
+        return out
 
-    cand = buckets.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
+    routed = buckets.map_batches(_route, batch_format="pandas")
+
+    def _sets(g: pd.DataFrame) -> pd.DataFrame:
+        g2 = g.sort_values(["band", "bucket", doc_col])
+        band = g2["band"].to_numpy()
+        buck = g2["bucket"].to_numpy().astype(np.uint64)
+        docs = g2[doc_col].to_numpy().astype(np.int64)
+        new = np.ones(len(g2), dtype=bool)
+        new[1:] = (band[1:] != band[:-1]) | (buck[1:] != buck[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(g2))
+        blobs, sbuckets = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            if e - s > 1000:
+                print(f"[minhash-lsh] oversized band bucket: {e - s} docs "
+                      f"— expanding via unioned-set dedup")
+            blob = docs[s:e].tobytes()  # sorted ids -> canonical bytes
+            blobs.append(blob)
+            # route by MIN doc id: heavily-overlapping variants of the
+            # same cluster (one per band) share their minimum with high
+            # probability, so they meet in one group and UNION below —
+            # the cluster expands once, not once per band
+            sbuckets.append(int(docs[s]) % _DEDUP_BUCKETS)
+        return pd.DataFrame({"ids": pd.Series(blobs, dtype=object),
+                             "sbucket": pd.Series(sbuckets, dtype="int64")})
+
+    bucket_sets = routed.groupby("skey").map_groups(_sets,
+                                                    batch_format="pandas")
+
+    def _union_sets(g: pd.DataFrame) -> pd.DataFrame:
+        """Union all bucket sets sharing a min id. The union's pair
+        expansion is a SUPERSET of the per-bucket expansions (LSH
+        candidates only need to contain every true pair; verification
+        filters), and it collapses the per-band duplication that would
+        otherwise expand a near-dup cluster ``bands`` times."""
+        out: dict[int, np.ndarray] = {}
+        for blob in g["ids"].drop_duplicates():
+            ids = np.frombuffer(blob, dtype=np.int64)
+            key = int(ids[0])
+            prev = out.get(key)
+            out[key] = ids if prev is None else np.union1d(prev, ids)
+        return pd.DataFrame({"ids": pd.Series(
+            [v.tobytes() for v in out.values()], dtype=object)})
+
+    distinct_sets = bucket_sets.groupby("sbucket").map_groups(
+        _union_sets, batch_format="pandas")
+
+    def _expand(batch: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for blob in batch["ids"]:
+            ids = np.frombuffer(blob, dtype=np.int64)
+            a, b = _all_pairs_sorted(ids)
+            outs_a.append(a)
+            outs_b.append(b)
+        if not outs_a:
+            return _empty_pairs()
+        return pd.DataFrame({
+            "doc_a": np.concatenate(outs_a).astype("int64"),
+            "doc_b": np.concatenate(outs_b).astype("int64"),
+        })
+
+    cand = distinct_sets.map_batches(_expand, batch_format="pandas")
     cand = dedup_pairs(cand)
 
     if verify_mode == "join":
@@ -260,7 +331,8 @@ def minhash_lsh_pipeline(
     for bt in ds.select_columns([doc_col, text_col]).iter_batches(batch_format="pandas"):
         for did, txt in zip(bt[doc_col], bt[text_col]):
             sh = _shingles(txt.split(" "), shingle)
-            word_sets[did] = np.unique(hash_str(np.array(sh, dtype=object)))
+            word_sets[did] = frozenset(
+                hash_str(np.array(sh, dtype=object)).tolist())
     ref = ray.put(word_sets)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -272,7 +344,7 @@ def minhash_lsh_pipeline(
         jac = np.empty(len(batch), dtype=np.float64)
         for i, (x, y) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
             sa, sb = sets[x], sets[y]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            inter = len(sa & sb)
             jac[i] = inter / (len(sa) + len(sb) - inter)
         out = batch.copy()
         keep = jac >= jaccard_threshold  # filter on RAW values (SQL parity)
@@ -383,9 +455,16 @@ def simhash_pipeline(ds, *, hamming_threshold: int = 3,
 
 def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
                        text_col: str, shingle: int):
-    """Scale-path pair verification: two hash joins against the shingle
-    signature Dataset (keyed shuffles; nothing broadcast)."""
-    import pyarrow as pa
+    """Scale-path pair verification: keyed shuffles, nothing broadcast,
+    and no per-PAIR payload duplication.
+
+    A naive join of signatures onto candidate pairs ships each doc's
+    shingle-hash bytes once per PAIR (KBs x pair count — measured GBs on
+    near-dup-heavy data). Instead pairs bucket by hash(doc_a) into 64
+    fixed groups; each signature joins once per (doc, bucket) that needs
+    it (one inner hash join); pairs and signatures then co-group by bucket
+    (``Dataset.union`` + one groupby) and every bucket verifies its pairs
+    against a local dict."""
 
     def sigs(batch: pd.DataFrame) -> pd.DataFrame:
         hs = []
@@ -399,25 +478,82 @@ def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
     sig_ds = ds.select_columns([doc_col, text_col]).map_batches(
         sigs, batch_format="pandas")
 
-    j1 = cand.join(sig_ds, join_type="inner", num_partitions=8,
-                   on=("doc_a",), right_on=(doc_col,), right_suffix="_a")
-    j1 = j1.map_batches(lambda b: b.rename(columns={"hashes": "hashes_a"}),
-                        batch_format="pandas")
-    j2 = j1.join(sig_ds, join_type="inner", num_partitions=8,
-                 on=("doc_b",), right_on=(doc_col,), right_suffix="_b")
+    # ``cand`` fans out to TWO consumers (pair rows + the needed-doc list)
+    # whose union re-executes shared lineage per consumer in a lazy plan —
+    # measured 5x wall blowup. Materialize once: candidate pairs are
+    # 16 B/row in the object store (spillable), always far smaller than
+    # the corpus that produced them.
+    cand = cand.materialize()
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
+    # explicit Arrow schema: empty object-dtype byte columns would infer
+    # as Arrow `null` and break the union/groupby schema merge
+    vrow_schema = pa.schema([("vbucket", pa.int64()), ("doc_a", pa.int64()),
+                             ("doc_b", pa.int64()), ("hashes", pa.binary())])
+
+    def _pair_rows(b: pd.DataFrame) -> pa.Table:
+        da = b["doc_a"].to_numpy(dtype=np.int64) if len(b) else \
+            np.empty(0, np.int64)
+        db = b["doc_b"].to_numpy(dtype=np.int64) if len(b) else \
+            np.empty(0, np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(da % _DEDUP_BUCKETS), pa.array(da), pa.array(db),
+             pa.array([b""] * len(da), pa.binary())], schema=vrow_schema)
+
+    pair_rows = cand.map_batches(_pair_rows, batch_format="pandas")
+
+    def _needed(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
+                                 "vbucket": pd.Series([], dtype="int64")})
+        vb = b["doc_a"].astype("int64") % _DEDUP_BUCKETS
+        out = pd.DataFrame({
+            "doc": pd.concat([b["doc_a"], b["doc_b"]]).astype("int64"),
+            "vbucket": pd.concat([vb, vb]).astype("int64"),
+        })
+        return out.drop_duplicates()  # in-batch combiner
+
+    needed = cand.map_batches(_needed, batch_format="pandas")
+    have = needed.join(sig_ds, join_type="inner", num_partitions=8,
+                       on=("doc",), right_on=(doc_col,))
+
+    def _sig_rows(b: pd.DataFrame) -> pa.Table:
+        # duplicate (doc, vbucket) rows can survive across input batches
+        # of _needed; harmless — the verify dict overwrites equal payloads
+        vb = b["vbucket"].to_numpy(dtype=np.int64) if len(b) else \
+            np.empty(0, np.int64)
+        doc = b["doc"].to_numpy(dtype=np.int64) if len(b) else \
+            np.empty(0, np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(vb), pa.array(doc),
+             pa.array(np.full(len(vb), -1, dtype=np.int64)),
+             pa.array(list(b["hashes"]) if len(b) else [], pa.binary())],
+            schema=vrow_schema)
+
+    sig_rows = have.map_batches(_sig_rows, batch_format="pandas")
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        sig_mask = g["doc_b"].to_numpy() < 0
+        # Python sets: C-level intersection at ~2us/pair beats a numpy
+        # intersect1d call (~30us of per-call overhead) for the ~100-element
+        # hash sets of typical docs — the verify loop is pair-count-bound
+        sets = {int(d): frozenset(np.frombuffer(h, dtype="<u8").tolist())
+                for d, h in zip(g["doc_a"].to_numpy()[sig_mask],
+                                g["hashes"].to_numpy()[sig_mask])}
+        pr_a = g["doc_a"].to_numpy()[~sig_mask]
+        pr_b = g["doc_b"].to_numpy()[~sig_mask]
+        if len(pr_a) == 0:
             return _empty_pairs("jaccard")
-        jac = np.empty(len(batch), dtype=np.float64)
-        for i, (sa, sb) in enumerate(zip(batch["hashes_a"], batch["hashes"])):
-            sa = np.frombuffer(sa, dtype="<u8")
-            sb = np.frombuffer(sb, dtype="<u8")
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        jac = np.empty(len(pr_a), dtype=np.float64)
+        for i in range(len(pr_a)):
+            sa = sets[int(pr_a[i])]
+            sb = sets[int(pr_b[i])]
+            inter = len(sa & sb)
             jac[i] = inter / (len(sa) + len(sb) - inter)
         keep = jac >= threshold
-        out = batch[["doc_a", "doc_b"]].copy()
-        out["jaccard"] = jac.round(6)
-        return out[keep]
+        return pd.DataFrame({"doc_a": pr_a[keep].astype("int64"),
+                             "doc_b": pr_b[keep].astype("int64"),
+                             "jaccard": jac[keep].round(6)})
 
-    return j2.map_batches(verify, batch_format="pandas")
+    unioned = pair_rows.union(sig_rows)
+    return unioned.groupby("vbucket").map_groups(verify_group,
+                                                 batch_format="pandas")

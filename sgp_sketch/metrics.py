@@ -28,6 +28,23 @@ def imbalance_report(loads) -> dict:
     }
 
 
+def load_delta_report(before, after) -> dict:
+    """Pairwise per-partition load delta (SURVEY §2.5 A6: the reference
+    diffs balance vectors between runs/iterations, log_parser.py:133-138
+    consumers). Returns per-partition deltas + the imbalance drift."""
+    b = np.asarray(before, dtype=np.float64)
+    a = np.asarray(after, dtype=np.float64)
+    if len(b) != len(a):
+        raise ValueError(f"partition count changed: {len(b)} != {len(a)}")
+    delta = a - b
+    return {
+        "delta": [float(x) for x in delta],
+        "max_abs_delta": float(np.abs(delta).max()) if len(delta) else 0.0,
+        "imbalance_before": imbalance_report(b)["imbalance"],
+        "imbalance_after": imbalance_report(a)["imbalance"],
+    }
+
+
 def throughput_report(n_rows: int, n_tokens: int, wall_sec: float) -> dict:
     return {
         "n_rows": int(n_rows),

@@ -70,12 +70,31 @@ class MediaDecoder:
             raise ValueError("mode must be 'fake' or 'real'")
         self.mode = mode
         self.dim = feature_dim
-        # real mode would do:  self.codec = load_image_codec() / ffmpeg init
+        # the real codec loads ONCE PER ACTOR here; import-guarded so the
+        # deterministic fake stays the CI path where Pillow is absent
+        self.pil = None
+        if mode == "real":
+            try:
+                from PIL import Image  # noqa: F401
+
+                self.pil = Image
+            except ImportError:
+                self.pil = None
 
     def _decode_real(self, payload: bytes, media_type: str) -> np.ndarray:
+        if media_type == "image" and self.pil is not None:
+            import io
+
+            img = self.pil.open(io.BytesIO(payload)).convert("L")
+            arr = np.asarray(img, dtype=np.float64).reshape(-1)
+            hist = np.bincount((arr.astype(np.int64)) % self.dim,
+                               minlength=self.dim).astype(np.float64)
+            total = hist.sum()
+            return hist / total if total else hist
         raise NotImplementedError(
             "codec libraries (PIL/ffmpeg/torchaudio) are not available in "
-            "this environment; run with mode='fake' for the deterministic stub"
+            "this environment (or this media_type has no codec); run with "
+            "mode='fake' for the deterministic stub"
         )
 
     def _decode_fake(self, payload: bytes, media_type: str) -> np.ndarray:

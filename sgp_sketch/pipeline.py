@@ -97,7 +97,11 @@ def _batch_arrays(batch: pa.Table):
     tokens = batch["tokens"]
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()
-    flat = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    # keep the token stream at its native int32 width — the hot path sorts
+    # it, and halving the bytes halves the DRAM traffic of the one pass
+    # that touches every token (int64 upcast happens only on vocab-scale
+    # unique arrays inside the sketches)
+    flat = tokens.flatten().to_numpy(zero_copy_only=False)
     lens = tokens.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
     n_tok = batch["n_tok"].to_numpy(zero_copy_only=False)
     src = batch["source"]
@@ -219,34 +223,68 @@ class SketchUpdater:
         per_source = [s for s in self.specs if s.per_source]
         global_specs = [s for s in self.specs if s.global_scope]
 
-        # ---- combined-key dedup: ONE sort of [pid | source | 31-bit token]
-        # over the whole batch is the only pass touching every token (the
-        # memory-bandwidth hot path). pid-major ordering serves BOTH scope
-        # families: contiguous (pid, source) runs feed the per-source
-        # sketches, and each pid's *deduped* run (vocab-sized, not
-        # token-count-sized) is re-deduped cheaply for the global scope.
+        # ---- segment dedup: rows order by combo (pid-major, then source);
+        # tokens gather into contiguous per-combo segments via a
+        # grouped-arange permutation, then each segment sorts at native
+        # int32 width. This replaces a global (combo<<31|token) uint64 sort
+        # — same unique/count results, ~half the DRAM traffic on the one
+        # pass that touches every token (the measured scaling bottleneck).
+        # pid-major ordering serves BOTH scope families: per-combo runs
+        # feed the per-source sketches, and each pid's concatenated
+        # *deduped* runs (vocab-sized) re-dedup cheaply for global scope.
         n_src = max(len(sources), 1)
         combo_of_row = pid_rows * n_src + codes  # pid-major
-        key = (np.repeat(combo_of_row.astype(np.uint64), lens)
-               << np.uint64(31)) | flat.astype(np.uint64)
-        key.sort()
-        edge = np.empty(len(key), dtype=bool)
-        if len(key):
-            edge[0] = True
-            np.not_equal(key[1:], key[:-1], out=edge[1:])
-        starts = np.flatnonzero(edge)
-        cnt = np.diff(np.append(starts, len(key)))
-        ukey = key[starts]
-        utok = (ukey & np.uint64(0x7FFFFFFF)).astype(np.int64)
-        ucombo = (ukey >> np.uint64(31)).astype(np.int64)
-        combos = np.unique(ucombo)
-        cbounds = np.searchsorted(ucombo, combos)
-        cbounds = np.append(cbounds, len(ucombo))
-
-        # row-value grouping (n_tok per row), same combo key
         rorder = np.argsort(combo_of_row, kind="stable")
-        rb = np.searchsorted(combo_of_row[rorder], combos)
-        rb = np.append(rb, len(combo_of_row))
+        cs = combo_of_row[rorder]
+        redge = np.empty(len(cs), dtype=bool)
+        if len(cs):
+            redge[0] = True
+            np.not_equal(cs[1:], cs[:-1], out=redge[1:])
+        rstarts = np.flatnonzero(redge)
+        combos = cs[rstarts]
+        rb = np.append(rstarts, len(cs))  # row bounds per combo (in rorder)
+
+        row_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        lens_o = lens[rorder]
+        cum_o = np.concatenate(([0], np.cumsum(lens_o)))
+        idx = (np.repeat(row_starts[rorder], lens_o)
+               + (np.arange(len(flat), dtype=np.int64)
+                  - np.repeat(cum_o[:-1], lens_o)))
+        flat_g = flat[idx]               # tokens grouped by combo
+        # token offsets per combo boundary: rb's last entry is len(rows),
+        # so cum_o[rb] already carries the terminal total-token bound
+        tok_bounds = cum_o[rb]
+
+        def _run_length(seg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            if len(seg) == 0:
+                return seg, np.empty(0, dtype=np.int64)
+            e = np.empty(len(seg), dtype=bool)
+            e[0] = True
+            np.not_equal(seg[1:], seg[:-1], out=e[1:])
+            s = np.flatnonzero(e)
+            return seg[s], np.diff(np.append(s, len(seg)))
+
+        # per-combo sorted-unique runs (computed once, consumed by both
+        # the per-source and the global emission below)
+        seg_uq: list = []
+        seg_uc: list = []
+        for j in range(len(combos)):
+            seg = np.sort(flat_g[tok_bounds[j]:tok_bounds[j + 1]])
+            uq, uc = _run_length(seg)
+            seg_uq.append(uq)
+            seg_uc.append(uc)
+
+        def _merge_runs(uqs: list, ucs: list) -> tuple[np.ndarray, np.ndarray]:
+            """Re-dedup concatenated sorted-unique runs (vocab-scale)."""
+            cu = np.concatenate(uqs) if uqs else np.empty(0, flat.dtype)
+            cc = np.concatenate(ucs) if ucs else np.empty(0, np.int64)
+            order = np.argsort(cu, kind="stable")
+            cu, cc = cu[order], cc[order]
+            uq, run = _run_length(cu)
+            if len(uq) == 0:
+                return uq, np.empty(0, dtype=np.int64)
+            s = np.concatenate(([0], np.cumsum(run)))[:-1]
+            return uq, np.add.reduceat(cc, s)
 
         # ---- per-source partials, keyed (source, pid); tail sources (when
         # a head set is configured) accumulate into one scope per pid
@@ -257,54 +295,35 @@ class SketchUpdater:
                 if pid in self.skip:
                     continue
                 source = sources[int(cid) % n_src]
-                uq = utok[cbounds[j]:cbounds[j + 1]]
-                uc = cnt[cbounds[j]:cbounds[j + 1]]
+                n_toks = int(tok_bounds[j + 1] - tok_bounds[j])
                 rsl = rorder[rb[j]:rb[j + 1]]
                 if self.head is not None and source not in self.head:
                     slot = tail.setdefault(pid, [[], [], [], 0])
-                    slot[0].append(uq)
-                    slot[1].append(uc)
+                    slot[0].append(seg_uq[j])
+                    slot[1].append(seg_uc[j])
                     slot[2].append(rsl)
-                    slot[3] += int(uc.sum())
+                    slot[3] += n_toks
                     continue
-                update_scope(f"src:{source}", pid, per_source, uq, uc,
-                             int(uc.sum()), n_tok[rsl], len(rsl))
+                update_scope(f"src:{source}", pid, per_source, seg_uq[j],
+                             seg_uc[j], n_toks, n_tok[rsl], len(rsl))
             for pid, (uqs, ucs, rsls, ntoks) in sorted(tail.items()):
-                cu = np.concatenate(uqs)
-                cc = np.concatenate(ucs)
-                order = np.argsort(cu, kind="stable")
-                cu, cc = cu[order], cc[order]
-                e = np.empty(len(cu), dtype=bool)
-                e[0] = True
-                np.not_equal(cu[1:], cu[:-1], out=e[1:])
-                s = np.flatnonzero(e)
-                uq = cu[s]
-                uc = np.add.reduceat(cc, s)
+                uq, uc = _merge_runs(uqs, ucs)
                 rsl = np.concatenate(rsls)
                 update_scope("src:__tail__", pid, per_source, uq, uc,
                              ntoks, n_tok[rsl], len(rsl))
 
-        # ---- global-scope partials, one per partition present in the batch
-        # (keeps every partition checkpoint self-contained for resume);
-        # built from the pid's already-deduped (token, count) run — a small
-        # second dedup over vocab-sized data, not the token stream
+        # ---- global-scope partials: re-deduped from the combo-level
+        # unique runs — a small second pass over vocab-sized data, never
+        # the token stream
         if global_specs and not self.global_per_pid:
-            # one global partial for the whole batch, re-deduped from the
-            # combo-level unique runs (vocab-scale work, not token-scale)
-            order2 = np.argsort(utok, kind="stable")
-            ts = utok[order2]
-            e2 = np.empty(len(ts), dtype=bool)
-            if len(ts):
-                e2[0] = True
-                np.not_equal(ts[1:], ts[:-1], out=e2[1:])
-            s2 = np.flatnonzero(e2)
-            uq = ts[s2]
-            uc = np.add.reduceat(cnt[order2], s2) if len(s2) else \
-                np.empty(0, dtype=np.int64)
+            # one global partial for the whole batch
+            uq, uc = _merge_runs(seg_uq, seg_uc)
             pid = int(pid_rows[0]) if len(pid_rows) else 0
             update_scope(SCOPE_GLOBAL, pid, global_specs, uq, uc,
-                         int(cnt.sum()), n_tok, len(n_tok))
+                         int(len(flat)), n_tok, len(n_tok))
         elif global_specs:
+            # one global partial per partition present in the batch (keeps
+            # every partition checkpoint self-contained for resume)
             pid_of_combo = combos // n_src
             gpids = np.unique(pid_of_combo)
             gcb = np.searchsorted(pid_of_combo, gpids)
@@ -312,23 +331,12 @@ class SketchUpdater:
             for g, pid in enumerate(gpids):
                 if int(pid) in self.skip:
                     continue
-                lo, hi = cbounds[gcb[g]], cbounds[gcb[g + 1]]
-                toks_slice = utok[lo:hi]
-                cnt_slice = cnt[lo:hi]
-                order2 = np.argsort(toks_slice, kind="stable")
-                ts = toks_slice[order2]
-                e2 = np.empty(len(ts), dtype=bool)
-                if len(ts):
-                    e2[0] = True
-                    np.not_equal(ts[1:], ts[:-1], out=e2[1:])
-                s2 = np.flatnonzero(e2)
-                uq = ts[s2]
-                uc = np.add.reduceat(cnt_slice[order2], s2) if len(s2) else \
-                    np.empty(0, dtype=np.int64)
-                rlo, rhi = rb[gcb[g]], rb[gcb[g + 1]]
-                rsl = rorder[rlo:rhi]
+                lo, hi = int(gcb[g]), int(gcb[g + 1])
+                uq, uc = _merge_runs(seg_uq[lo:hi], seg_uc[lo:hi])
+                n_toks = int(tok_bounds[hi] - tok_bounds[lo])
+                rsl = rorder[rb[lo]:rb[hi]]
                 update_scope(SCOPE_GLOBAL, int(pid), global_specs, uq, uc,
-                             int(cnt_slice.sum()), n_tok[rsl], len(rsl))
+                             n_toks, n_tok[rsl], len(rsl))
 
         return pa.Table.from_pydict(out, schema=PARTIAL_SCHEMA)
 

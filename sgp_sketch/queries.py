@@ -902,6 +902,69 @@ EXACT_QUERIES["events_sliding_window"] = (events_sliding_window, EVENTS_SLIDING_
 EXACT_QUERIES["topk_words_per_source"] = (topk_words_per_source, TOPK_PER_SOURCE_SQL)
 
 
+def order_day_activity(sf_dir: str):
+    """Per-day order counts FULL OUTER JOIN per-day event counts.
+
+    Exercises Dataset.join(full_outer) (the reference's either-side-optional
+    out x in edge alignment, csv-converter.scala:208-210) plus an explicit
+    repartition: the two grouped sides land on mismatched block counts, so
+    they coalesce to the join's partition count first (SURVEY §2.6 O3).
+    Dates outside the other table's range survive with a zero count.
+    """
+    from ray.data.aggregate import Count
+
+    def _day(col):
+        def add(t: pa.Table) -> pa.Table:
+            floored = pc.cast(pc.floor_temporal(t[col], unit="day"),
+                              pa.timestamp("s"))
+            day = pc.strftime(floored, format="%Y-%m-%d")
+            return pa.Table.from_pydict({"day": day})
+        return add
+
+    orders = _read(sf_dir, "orders", ["o_orderdate"]) \
+        .map_batches(_day("o_orderdate"), batch_format="pyarrow") \
+        .groupby("day").aggregate(Count(alias_name="n_orders")) \
+        .repartition(4)
+    events = _read(sf_dir, "events", ["ts"]) \
+        .map_batches(_day("ts"), batch_format="pyarrow") \
+        .map_batches(lambda t: t.rename_columns(["day_e"]),
+                     batch_format="pyarrow") \
+        .groupby("day_e").aggregate(Count(alias_name="n_events")) \
+        .repartition(4)
+
+    joined = orders.join(events, join_type="full_outer", num_partitions=4,
+                         on=("day",), right_on=("day_e",))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        # the join coalesces the key columns into one `day`; only the
+        # side-exclusive counts arrive as nulls
+        return pd.DataFrame({
+            "day": b["day"],
+            "n_orders": b["n_orders"].fillna(0).astype("int64"),
+            "n_events": b["n_events"].fillna(0).astype("int64"),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+ORDER_DAY_ACTIVITY_SQL = """
+WITH o AS (
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n_orders
+    FROM orders GROUP BY 1
+), e AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+    FROM events GROUP BY 1
+)
+SELECT coalesce(o.day, e.day) AS day,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_events, 0) AS n_events
+FROM o FULL OUTER JOIN e ON o.day = e.day
+"""
+
+EXACT_QUERIES["order_day_activity"] = (order_day_activity,
+                                       ORDER_DAY_ACTIVITY_SQL)
+
+
 def shingle_jaccard_pairs(sf_dir: str):
     """Near-dup pairs by 3-word shingle Jaccard (MinHash-LSH candidates +
     exact shingle verification). Shingles lower similarity vs unigram sets,
@@ -926,6 +989,67 @@ def embedding_lsh_neardup(sf_dir: str):
 
 ROWS_ONLY_QUERIES["shingle_jaccard_pairs"] = shingle_jaccard_pairs
 ROWS_ONLY_QUERIES["embedding_lsh_neardup"] = embedding_lsh_neardup
+
+
+_TWO_HOP_EDGE_CAP = 2000
+
+
+def _event_graph_edges(sf_dir: str):
+    """Deterministic bipartite user<->event_type edge stream from the first
+    ``_TWO_HOP_EDGE_CAP`` events (capped: a 2-hop expansion is quadratic in
+    hub degree, and the CAP is logged by being part of the query contract)."""
+    from .sources import undirect_edges
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["event_id"], pa.scalar(_TWO_HOP_EDGE_CAP)))
+        src = pc.binary_join_element_wise(
+            pa.array(["u"] * len(t), pa.string()),
+            pc.cast(t["user_id"], pa.string()), "")
+        dst = t["event_type"]
+        if isinstance(dst, pa.ChunkedArray):
+            dst = dst.combine_chunks()
+        return pa.Table.from_arrays([src, dst], names=["src", "dst"])
+
+    return undirect_edges(ds.map_batches(to_edges, batch_format="pyarrow"))
+
+
+def two_hop_partition_quality(sf_dir: str):
+    """Partition-quality CONSUMER (the LDBC 2-hop analogue,
+    PartitioningTwoHopTest.groovy:156-169): for each partitioning
+    algorithm, expand every 2-hop path of the user-event graph and count
+    partition switches. This is what makes the edge-cut table mean
+    something: fewer crossings = fewer machine hops per query."""
+    from .analytics import two_hop_cross_partition
+    from .sources import partition_graph_stream, snap_to_adjacency
+
+    edges = _event_graph_edges(sf_dir)
+    adj = snap_to_adjacency(edges)
+    rows = []
+    for alg in ("hash", "ldg", "fennel"):
+        pm, _ = partition_graph_stream(adj, k=8, algorithm=alg)
+        stats = two_hop_cross_partition(edges, pm)
+        rows.append({
+            "algorithm": alg,
+            "n_paths": stats["n_paths"],
+            "hop_crossings": stats["hop_crossings"],
+            "crossing_e6": int(round(stats["crossing_fraction"] * 1_000_000)),
+        })
+    return pd.DataFrame(rows)
+
+
+def bfs_event_graph(sf_dir: str):
+    """Broadcast-frontier BFS distances over the capped user-event graph
+    (reference smoke: shortestPathTest.groovy:166-219)."""
+    from .analytics import bfs_layers
+
+    edges = _event_graph_edges(sf_dir)
+    return bfs_layers(edges, "u0", max_depth=6)
+
+
+ROWS_ONLY_QUERIES["two_hop_partition_quality"] = two_hop_partition_quality
+ROWS_ONLY_QUERIES["bfs_event_graph"] = bfs_event_graph
 
 
 _SESSION_BUCKETS = 64

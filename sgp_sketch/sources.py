@@ -34,7 +34,8 @@ ADJ_SCHEMA = pa.schema(
 
 def parse_adjacency_batch(batch: pa.Table, *, edge_labels: set | None = None,
                           labeled: bool = False) -> pa.Table:
-    """Vectorized adjacency-line parser (M1/M2 in SURVEY.md §2.2).
+    """Vectorized adjacency-line parser (M1/M2 in SURVEY.md §2.2) — Arrow
+    string kernels end to end, no per-line Python.
 
     ``labeled=True`` parses ``label,target`` neighbor tokens and drops
     labels outside ``edge_labels`` (LineParser semantics,
@@ -43,32 +44,49 @@ def parse_adjacency_batch(batch: pa.Table, *, edge_labels: set | None = None,
     text = batch["text"]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
-    keep = pc.invert(pc.starts_with(pc.utf8_trim_whitespace(text), "#"))
-    text = text.filter(keep)
-    parts = pc.split_pattern_regex(text, r"\s+")
-    # row i: [vertex, degree, n1..nk]
-    plist = parts.to_pylist()  # small fixture files; line-level metadata only
-    vertices, degrees, neighbors = [], [], []
-    for toks in plist:
-        toks = [t for t in toks if t != ""]
-        if len(toks) < 2:
-            continue
-        vertices.append(toks[0])
-        degrees.append(int(toks[1]))
-        nbrs = toks[2:]
-        if labeled:
-            out = []
-            for nb in nbrs:
-                seg = nb.split(",")
-                if len(seg) < 2:
-                    continue
-                if edge_labels is None or seg[0] in edge_labels:
-                    out.append(seg[1])
-            nbrs = out
-        neighbors.append(nbrs)
+    t = pc.utf8_trim_whitespace(text)
+    keep = pc.and_(pc.invert(pc.starts_with(t, "#")),
+                   pc.greater(pc.utf8_length(t), 0))
+    t = t.filter(keep)
+    parts = pc.split_pattern_regex(t, r"\s+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    parts = parts.filter(pc.greater_equal(pc.list_value_length(parts), 2))
+    vertices = pc.list_element(parts, 0)
+    degrees = pc.cast(pc.list_element(parts, 1), pa.int64())
+    nbrs = pc.list_slice(parts, 2)
+    if isinstance(nbrs, pa.ChunkedArray):
+        nbrs = nbrs.combine_chunks()
+    if labeled:
+        n_rows = len(nbrs)
+        lens = nbrs.value_lengths().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = nbrs.flatten()
+        seg = pc.split_pattern(flat, ",")
+        # list_slice is total (list_element is not): token -> 0/1 targets
+        tgt_list = pc.list_slice(seg, 1, 2)
+        if isinstance(tgt_list, pa.ChunkedArray):
+            tgt_list = tgt_list.combine_chunks()
+        has_target = (tgt_list.value_lengths().to_numpy(zero_copy_only=False)
+                      == 1)
+        label = pc.list_element(seg, 0)
+        if edge_labels is None:
+            label_ok = np.ones(len(flat), dtype=bool)
+        else:
+            label_ok = pc.is_in(
+                label, value_set=pa.array(sorted(edge_labels))
+            ).to_numpy(zero_copy_only=False)
+        token_keep = has_target & label_ok
+        # targets exist only for has_target tokens; align the two masks
+        tgt_flat = tgt_list.flatten()
+        kept_targets = tgt_flat.filter(pa.array(token_keep[has_target]))
+        row_of_token = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        kept_rows = row_of_token[token_keep]
+        counts = np.bincount(kept_rows, minlength=n_rows)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        nbrs = pa.ListArray.from_arrays(pa.array(offsets), kept_targets)
     return pa.Table.from_arrays(
-        [pa.array(vertices, pa.string()), pa.array(degrees, pa.int64()),
-         pa.array(neighbors, pa.list_(pa.string()))],
+        [pc.cast(vertices, pa.string()), degrees, pc.cast(nbrs, pa.list_(pa.string()))],
         schema=ADJ_SCHEMA,
     )
 
@@ -209,6 +227,76 @@ def write_partition_map(pm: pd.DataFrame, path: str) -> None:
     import pyarrow.parquet as pq
 
     pq.write_table(pa.Table.from_pandas(pm, preserve_index=False), path)
+
+
+def assign_dense_ids(adj_ds) -> pd.DataFrame:
+    """vertex -> dense 1-based id over the SORTED vertex set.
+
+    The reference's METIS conversion assigns dense ordinals with
+    zipWithIndex and persists the lookup (adj2metis.scala:44-50,
+    id-formatter.scala:47-66, snap2metis.scala:51-65). Ordinals are
+    order-defined, so the driver streams the sorted vertex column and
+    numbers it sequentially — O(batch) driver memory; the resulting table
+    is vocab-scale (one row per vertex, not per edge) and is the sidecar a
+    caller persists (write_partition_map shape).
+    """
+    import ray.data as rd
+
+    rd.DataContext.get_current().execution_options.preserve_order = True
+    verts = adj_ds.select_columns(["vertex"]).sort("vertex")
+    out_v: list = []
+    next_id = 1
+    out_ids: list = []
+    for b in verts.iter_batches(batch_format="pyarrow", batch_size=65536):
+        vs = b["vertex"].to_pylist()
+        out_v.extend(vs)
+        out_ids.extend(range(next_id, next_id + len(vs)))
+        next_id += len(vs)
+    return pd.DataFrame({"vertex": out_v,
+                         "dense_id": np.array(out_ids, dtype=np.int64)})
+
+
+def write_metis(adj_ds, id_map: pd.DataFrame, path: str) -> int:
+    """METIS text writer (adj2metis.scala:51-57): header ``n m``, then line
+    i holds the space-separated dense ids of vertex i's neighbors.
+
+    Expects undirected adjacency (each edge appears in both endpoint rows;
+    m = total_degree / 2 — the reference's reverse-edge union guarantees
+    this, snap2metis.scala:44). The dense map rides along as a broadcast
+    dict; METIS is inherently ONE ordered text file, so the driver streams
+    adjacency batches and materializes only the (vocab-scale) line table.
+    Returns m.
+    """
+    mapping = dict(zip(id_map["vertex"], id_map["dense_id"]))
+    n = len(mapping)
+    lines: dict[int, list] = {}
+    total_deg = 0
+    for b in adj_ds.iter_batches(batch_format="pyarrow"):
+        for v, nbrs in zip(b["vertex"].to_pylist(),
+                           b["neighbors"].to_pylist()):
+            ids = sorted(mapping[x] for x in nbrs if x in mapping)
+            lines[mapping[v]] = ids
+            total_deg += len(ids)
+    m = total_deg // 2
+    with open(path, "w") as f:
+        f.write(f"{n} {m}\n")
+        for i in range(1, n + 1):
+            f.write(" ".join(map(str, lines.get(i, []))) + "\n")
+    return m
+
+
+def read_metis(path: str) -> pd.DataFrame:
+    """Parse a METIS adjacency file back to (dense_id, neighbors) rows —
+    the round-trip check for write_metis (and the remap-back test shape)."""
+    with open(path) as f:
+        header = f.readline().split()
+        n = int(header[0])
+        rows = []
+        for i in range(1, n + 1):
+            line = f.readline().strip()
+            rows.append([int(x) for x in line.split()] if line else [])
+    return pd.DataFrame({"dense_id": np.arange(1, n + 1, dtype=np.int64),
+                         "neighbors": rows})
 
 
 SNB_EDGE_SCHEMA = pa.schema(

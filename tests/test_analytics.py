@@ -1,0 +1,142 @@
+"""Partition-consumer workloads (2-hop, BFS) + METIS export round-trip."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sgp_sketch.analytics import (
+    bfs_layers,
+    bidirectional_bfs_distance,
+    two_hop_cross_partition,
+)
+from sgp_sketch.sources import (
+    assign_dense_ids,
+    partition_graph_stream,
+    read_metis,
+    snap_to_adjacency,
+    undirect_edges,
+    write_metis,
+)
+
+
+def _clustered_edges(n_clusters=4, size=12, seed=3):
+    """Clustered graph: dense ring+chord edges inside clusters, one bridge
+    edge between consecutive clusters — locality a good partitioner keeps."""
+    rng = np.random.default_rng(seed)
+    src, dst = [], []
+    for c in range(n_clusters):
+        for i in range(size):
+            for d in (1, 2, 3):
+                src.append(f"c{c}v{i}")
+                dst.append(f"c{c}v{(i + d) % size}")
+        src.append(f"c{c}v0")
+        dst.append(f"c{(c + 1) % n_clusters}v0")
+    return pd.DataFrame({"src": src, "dst": dst})
+
+
+@pytest.fixture()
+def edges_ds():
+    import ray.data as rd
+
+    return rd.from_pandas(_clustered_edges())
+
+
+class TestTwoHop:
+    def test_locality_partitioner_beats_hash(self, edges_ds):
+        und = undirect_edges(edges_ds)
+        adj = snap_to_adjacency(und)
+        results = {}
+        for alg in ("hash", "ldg", "fennel"):
+            pm, _ = partition_graph_stream(adj, k=4, algorithm=alg)
+            results[alg] = two_hop_cross_partition(und, pm)
+        assert results["hash"]["n_paths"] == results["ldg"]["n_paths"]
+        # a locality-aware plan crosses partitions far less often than hash
+        assert (results["ldg"]["hop_crossings"]
+                < 0.6 * results["hash"]["hop_crossings"])
+        assert (results["fennel"]["hop_crossings"]
+                < 0.6 * results["hash"]["hop_crossings"])
+
+    def test_counts_exact_on_tiny_graph(self):
+        import ray.data as rd
+
+        edges = rd.from_pandas(pd.DataFrame({
+            "src": ["a", "b"], "dst": ["b", "c"]}))
+        pm = pd.DataFrame({"vertex": ["a", "b", "c"],
+                           "partition": [0, 0, 1]})
+        stats = two_hop_cross_partition(edges, pm)
+        # single path a->b->c: leg1 same partition, leg2 crosses
+        assert stats["n_paths"] == 1
+        assert stats["hop_crossings"] == 1
+        assert stats["crossing_fraction"] == 0.5
+
+
+class TestBFS:
+    def test_layers_known_graph(self):
+        import ray.data as rd
+
+        edges = rd.from_pandas(pd.DataFrame({
+            "src": ["s", "s", "a", "b", "c"],
+            "dst": ["a", "b", "c", "c", "d"],
+        }))
+        out = bfs_layers(edges, "s", max_depth=5)
+        dist = dict(zip(out["vertex"], out["dist"]))
+        assert dist == {"s": 0, "a": 1, "b": 1, "c": 2, "d": 3}
+
+    def test_bidirectional_agrees_with_layers(self, edges_ds):
+        und = undirect_edges(edges_ds)
+        out = bfs_layers(und, "c0v0", max_depth=8)
+        dist = dict(zip(out["vertex"], out["dist"]))
+        for target in ("c0v5", "c1v0", "c2v0"):
+            d = bidirectional_bfs_distance(und, "c0v0", target, max_depth=8)
+            assert d == dist[target], target
+
+    def test_unreachable_returns_none(self):
+        import ray.data as rd
+
+        edges = rd.from_pandas(pd.DataFrame({
+            "src": ["a", "x"], "dst": ["b", "y"]}))
+        assert bidirectional_bfs_distance(edges, "a", "y", max_depth=4) is None
+
+
+class TestLoadDelta:
+    def test_pairwise_delta(self):
+        from sgp_sketch.metrics import load_delta_report
+
+        r = load_delta_report([10, 10, 10, 10], [12, 9, 10, 13])
+        assert r["delta"] == [2.0, -1.0, 0.0, 3.0]
+        assert r["max_abs_delta"] == 3.0
+        assert r["imbalance_before"] == 1.0
+        assert r["imbalance_after"] > 1.0
+
+    def test_rejects_mismatched_k(self):
+        from sgp_sketch.metrics import load_delta_report
+
+        with pytest.raises(ValueError):
+            load_delta_report([1, 2], [1, 2, 3])
+
+
+class TestMetisExport:
+    def test_round_trip(self, edges_ds, tmp_path):
+        und = undirect_edges(edges_ds)
+        adj = snap_to_adjacency(und)
+        id_map = assign_dense_ids(adj)
+        # dense ids: 1-based, contiguous, sorted by vertex name
+        assert id_map["dense_id"].tolist() == list(
+            range(1, len(id_map) + 1))
+        assert id_map["vertex"].is_monotonic_increasing
+
+        path = str(tmp_path / "graph.metis")
+        m = write_metis(adj, id_map, path)
+        back = read_metis(path)
+        assert len(back) == len(id_map)
+
+        # remap back through the sidecar and compare neighbor sets
+        rev = dict(zip(id_map["dense_id"], id_map["vertex"]))
+        orig = {r["vertex"]: set(r["neighbors"]) for r in adj.take_all()}
+        for _, row in back.iterrows():
+            v = rev[row["dense_id"]]
+            assert {rev[n] for n in row["neighbors"]} == orig[v]
+
+        # header m == undirected edge count (each edge in both rows)
+        total_deg = sum(len(s) for s in orig.values())
+        assert m == total_deg // 2

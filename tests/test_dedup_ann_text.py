@@ -165,18 +165,40 @@ class TestMultimodal:
         assert len(row["features"]) == 16
         assert abs(sum(row["features"]) - 1.0) < 1e-9  # normalized histogram
 
-    def test_real_decode_raises_not_implemented(self):
+    def test_real_decode_guarded_by_pil(self):
+        """mode='real' decodes images where Pillow exists; raises the
+        declared NotImplementedError where it doesn't (this container)."""
         import pyarrow as pa
 
         from sgp_sketch.multimodal import MediaDecoder
 
         dec = MediaDecoder(mode="real")
-        batch = pa.table({
-            "media_id": ["m0"], "media_type": ["image"],
-            "payload": [b"bytes"], "n_bytes": [5],
-        })
-        with pytest.raises(NotImplementedError, match="codec"):
-            dec(batch)
+        try:
+            from PIL import Image  # noqa: F401
+
+            has_pil = True
+        except ImportError:
+            has_pil = False
+
+        if has_pil:
+            import io
+
+            img = Image.new("L", (4, 4), color=7)
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            batch = pa.table({
+                "media_id": ["m0"], "media_type": ["image"],
+                "payload": [buf.getvalue()], "n_bytes": [len(buf.getvalue())],
+            })
+            out = dec(batch)
+            assert len(out["features"][0]) == 16
+        else:
+            batch = pa.table({
+                "media_id": ["m0"], "media_type": ["image"],
+                "payload": [b"bytes"], "n_bytes": [5],
+            })
+            with pytest.raises(NotImplementedError, match="codec"):
+                dec(batch)
 
     def test_frame_sample_layout(self, sf_small):
         from sgp_sketch.multimodal import frame_sample, synthesize_media_dataset
