@@ -163,6 +163,100 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
 
 
+def _spherical_kmeans(x: np.ndarray, n_centroids: int, *, iters: int = 10,
+                      seed: int = 13) -> np.ndarray:
+    """Seeded spherical k-means over normalized rows (cosine geometry).
+
+    Deterministic: init = seeded row sample; ties by lowest centroid id.
+    Returns (n_centroids, d) L2-normalized centroids.
+    """
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    init = rng.choice(n, size=min(n_centroids, n), replace=False)
+    c = _normalize(x[np.sort(init)].copy())
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.sum(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, seed: int = 13,
+             train_rows: int = 4096,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF (inverted-file) approximate cosine top-k — the classic coarse-
+    quantizer scale path next to the hyperplane-LSH variant.
+
+    Train: seeded spherical k-means over a bounded driver-side SAMPLE
+    (``limit(train_rows)`` — the quantizer is vocab-scale state, broadcast
+    once via ``ray.put``). Probe: each query selects its ``n_probe``
+    nearest centroids; each batch scores only rows assigned to a probed
+    centroid — the matmul shrinks by ~n_probe/n_centroids. Recall vs
+    brute force is asserted in pytest.
+    """
+    import ray
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    sample = ds.select_columns([vec_col]).limit(train_rows)
+    mats = [_stack(bt[vec_col])
+            for bt in sample.iter_batches(batch_format="pyarrow")]
+    train = _normalize(np.vstack(mats))
+    cents = _spherical_kmeans(train, n_centroids, seed=seed)
+    # per-query probe set union (queries are few; rows filter on the union
+    # then score against every query — same shape as lsh_topk's ring)
+    qsims = qm @ cents.T
+    probe = np.argsort(-qsims, axis=1)[:, :n_probe]
+    probe_union = np.unique(probe.reshape(-1))
+    qref = ray.put((qm, np.asarray(query_ids), cents, probe_union))
+
+    class Score:
+        def __init__(self):
+            self.qm, self.qids, self.cents, self.probe = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            x = _normalize(_stack(batch[vec_col]))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            assign = (x @ self.cents.T).argmax(axis=1)
+            mask = np.isin(assign, self.probe)
+            if not mask.any():
+                return pd.DataFrame({
+                    "query_id": pd.Series([], dtype=np.asarray(self.qids).dtype),
+                    id_col: pd.Series([], dtype=ids.dtype),
+                    "sim": pd.Series([], dtype="float64"),
+                })
+            x = x[mask]
+            ids = ids[mask]
+            sims = self.qm @ x.T
+            kk = min(k, sims.shape[1])
+            out = []
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                idx = np.argpartition(-row, kk - 1)[:kk]
+                out.append(pd.DataFrame({
+                    "query_id": self.qids[qi],
+                    id_col: ids[idx],
+                    "sim": row[idx],
+                }))
+            return pd.concat(out, ignore_index=True)
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    local = ds.map_batches(Score, batch_format="pyarrow",
+                           concurrency=max(2, ncpu // 2))
+
+    def _global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return local.groupby("query_id").map_groups(_global_topk,
+                                                batch_format="pandas")
+
+
 def cosine_neardup_pairs(ds, threshold: float = 0.95,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          target_block_rows: int = 8192):

@@ -35,25 +35,34 @@ def content_hash_batch(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
 
 
 def exact_dedup(ds, col: str = "text"):
-    """Exact dedup: md5(content) groupby, survivor = min(doc_id) per group.
+    """Exact dedup: md5(content) -> survivor = min(doc_id) per hash.
 
     The hash — not the content — is the shuffle key, so wide text never
-    feeds the all-to-all (guide: 'Exact dedup' pattern).
+    feeds the all-to-all (guide: 'Exact dedup' pattern). A groupby on the
+    raw hash would make one Ray group per DISTINCT DOCUMENT (~10ms each);
+    instead each batch pre-aggregates its hashes (combiner), the partials
+    shuffle into 64 fixed buckets, and each bucket folds its partials with
+    one vectorized pandas groupby.
     """
-    hashed = ds.map_batches(
-        lambda b: content_hash_batch(b, col)[["doc_id", "content_hash"]],
-        batch_format="pandas",
-    )
 
-    def _survivor(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": [g["doc_id"].min()],
-                "n_dups": [len(g)],
-            }
-        )
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = content_hash_batch(b, col)[["doc_id", "content_hash"]]
+        agg = h.groupby("content_hash", sort=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
+        ).reset_index()
+        agg["bucket"] = (hash_str(np.asarray(agg["content_hash"],
+                                             dtype=object))
+                         % np.uint64(_DEDUP_BUCKETS)).astype(np.int64)
+        return agg
 
-    return hashed.groupby("content_hash").map_groups(_survivor, batch_format="pandas")
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("content_hash", sort=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum")
+        ).reset_index()
+        return agg[["doc_id", "n_dups", "content_hash"]]
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    return partial.groupby("bucket").map_groups(_fold, batch_format="pandas")
 
 
 _DEDUP_BUCKETS = 64
@@ -430,26 +439,50 @@ def simhash_pipeline(ds, *, hamming_threshold: int = 3,
 
     chunked = signed.map_batches(_chunks, batch_format="pandas")
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(doc_col)
+    # route chunk buckets into 64 fixed shuffle groups (never one Ray
+    # group per distinct chunk value — ~10ms/group), then segment each
+    # group vectorized and emit pairs per segment
+    def _route(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        ck = b["chunk"].to_numpy().astype(np.uint64)
+        ci = b["chunk_id"].to_numpy().astype(np.uint64)
+        out["skey"] = (splitmix64(ck ^ splitmix64(ci))
+                       % np.uint64(_DEDUP_BUCKETS)).astype(np.int64)
+        return out
+
+    def _pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["chunk_id", "chunk", doc_col])
+        ci = g["chunk_id"].to_numpy()
+        ck = g["chunk"].to_numpy()
         ids = g[doc_col].to_numpy()
         sigs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (ci[1:] != ci[:-1]) | (ck[1:] != ck[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(g))
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            if e - s > 1000:
+                print(f"[simhash] oversized chunk bucket: {e - s} docs — "
+                      f"emitting all pairs")
+            ii, jj = np.triu_indices(e - s, k=1)
+            x = sigs[s:e][ii] ^ sigs[s:e][jj]
+            ham = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = ham <= hamming_threshold
+            outs.append(pd.DataFrame({
+                "doc_a": ids[s:e][ii][keep], "doc_b": ids[s:e][jj][keep],
+                "hamming": ham[keep]}))
+        if not outs:
             return _empty_pairs("hamming", "int64")
-        if len(ids) > 1000:
-            print(f"[simhash] oversized chunk bucket: {len(ids)} docs — "
-                  f"emitting all pairs chunked")
-        ii, jj = np.triu_indices(len(ids), k=1)
-        x = sigs[ii] ^ sigs[jj]
-        ham = np.zeros(len(x), dtype=np.int64)
-        while x.any():
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        keep = ham <= hamming_threshold
-        return pd.DataFrame({"doc_a": ids[ii][keep], "doc_b": ids[jj][keep],
-                             "hamming": ham[keep]})
+        return pd.concat(outs, ignore_index=True)
 
-    pairs = chunked.groupby(["chunk_id", "chunk"]).map_groups(_pairs, batch_format="pandas")
+    pairs = chunked.map_batches(_route, batch_format="pandas") \
+        .groupby("skey").map_groups(_pairs_group, batch_format="pandas")
     return dedup_pairs(pairs, extra_col="hamming")
 
 

@@ -679,6 +679,21 @@ def lsh_ann_topk(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]]
 
 
+def ivf_ann_topk(sf_dir: str):
+    """IVF approximate ANN (seeded spherical k-means coarse quantizer,
+    probe 4/16 cells); recall vs brute force asserted in pytest."""
+    from .ann import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qt = emb.filter(pc.less(emb["vec_id"], pa.scalar(5)))
+    queries = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, queries, qids, k=10).to_pandas()
+    return out[["query_id", "vec_id", "rank"]]
+
+
 def media_features_fake(sf_dir: str):
     from .multimodal import media_features, synthesize_media_dataset
 
@@ -989,6 +1004,7 @@ def embedding_lsh_neardup(sf_dir: str):
 
 ROWS_ONLY_QUERIES["shingle_jaccard_pairs"] = shingle_jaccard_pairs
 ROWS_ONLY_QUERIES["embedding_lsh_neardup"] = embedding_lsh_neardup
+ROWS_ONLY_QUERIES["ivf_ann_topk"] = ivf_ann_topk
 
 
 _TWO_HOP_EDGE_CAP = 2000

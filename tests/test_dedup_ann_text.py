@@ -113,6 +113,46 @@ class TestANN:
             recall.append(len(a & b) / len(b))
         assert np.mean(recall) >= 0.3  # ring probing on random data
 
+    def test_ivf_recall(self, sf_small):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from sgp_sketch.ann import ivf_topk
+
+        emb = pq.read_table(f"{sf_small}/embeddings.parquet")
+        queries = np.array(emb["embedding"].to_pylist(), dtype=np.float64)[:5]
+        qids = emb["vec_id"].to_numpy()[:5]
+        ds = rd.read_parquet(f"{sf_small}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        brute = brute_force_topk(ds, queries, qids, k=10).to_pandas()
+        approx = ivf_topk(ds, queries, qids, k=10, n_centroids=8,
+                          n_probe=3).to_pandas()
+        recall = []
+        for q in qids:
+            b = set(brute[brute["query_id"] == q]["vec_id"])
+            a = set(approx[approx["query_id"] == q]["vec_id"])
+            recall.append(len(a & b) / len(b))
+        # probing 3/8 coarse cells keeps most true neighbors
+        assert np.mean(recall) >= 0.4
+
+    def test_ivf_deterministic(self, sf_small):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from sgp_sketch.ann import ivf_topk
+
+        emb = pq.read_table(f"{sf_small}/embeddings.parquet")
+        queries = np.array(emb["embedding"].to_pylist(), dtype=np.float64)[:2]
+        qids = emb["vec_id"].to_numpy()[:2]
+        ds = rd.read_parquet(f"{sf_small}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        a = ivf_topk(ds, queries, qids, k=5).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = ivf_topk(ds, queries, qids, k=5).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert a[["query_id", "vec_id", "rank"]].equals(
+            b[["query_id", "vec_id", "rank"]])
+
     def test_cosine_neardup_self_consistent(self, sf_small):
         import ray.data as rd
 
