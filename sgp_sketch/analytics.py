@@ -12,6 +12,16 @@ over the partitioned store: the LDBC 2-hop expansion
 - ``bfs_layers`` / ``bidirectional_bfs_distance``: broadcast-frontier BFS
   (frontier + visited are vertex-scale driver state; each round is one
   vectorized membership pass over the edge Dataset).
+- ``pagerank`` / ``sssp_distances`` / ``connected_components``: the
+  reference's analytics parameter sweep runs exactly these three workloads
+  over every partitioning (containers/analytics/parameters/twitter.json:35-46,
+  pagerank iterations=20 / sssp / connectedcomponents). All three follow the
+  same scale contract as BFS: VERTEX-scale state (ranks / distances / labels,
+  GBs at billion-vertex scale) is a driver vector broadcast once per round
+  via ``ray.put``, while the EDGE data — the part that is 100 TB — only ever
+  streams through ``map_batches``; per-batch partials are reduced vectorized
+  in-batch (bincount / segment-min) before the driver fold, so nothing
+  edge-scale is ever collected.
 """
 
 from __future__ import annotations
@@ -157,3 +167,193 @@ def bidirectional_bfs_distance(edges, src: str, dst: str, *,
         if meet:
             return min(vis_f[v] + vis_b[v] for v in meet)
     return None
+
+
+# ---------------------------------------------------------------------------
+# Iterative workloads (reference analytics sweep: pagerank / sssp / CC)
+# ---------------------------------------------------------------------------
+
+def _collect_vertices(edges, cols=("src", "dst")) -> np.ndarray:
+    """Sorted unique vertex array from an edge Dataset — ONE streamed pass,
+    per-batch ``np.unique`` partials, vertex-scale driver fold."""
+    parts = []
+    def uniq(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = np.unique(np.concatenate(
+            [batch[c].to_numpy() for c in cols]))
+        return pd.DataFrame({"v": vals})
+    for b in edges.map_batches(uniq, batch_format="pandas") \
+            .iter_batches(batch_format="pandas"):
+        parts.append(b["v"].to_numpy())
+    if not parts:
+        return np.array([], dtype=object)
+    return np.unique(np.concatenate(parts))
+
+
+def pagerank(edges, *, iterations: int = 20, damping: float = 0.85
+             ) -> pd.DataFrame:
+    """PageRank over an edge Dataset (the reference sweep's first workload,
+    containers/analytics/parameters/twitter.json:36: pagerank iterations=20).
+
+    Scale shape: the rank/out-degree vectors are VERTEX-scale and broadcast
+    once per iteration (``ray.put``); the edge Dataset (the 100-TB part) is
+    materialized ONCE into the object store and streamed per iteration; each
+    batch reduces its contributions with ``np.bincount`` and ships only the
+    nonzero (idx, partial) rows, so driver traffic per round is
+    O(touched vertices), never O(edges).
+    """
+    import ray
+
+    edges = edges.materialize()  # iterative consumer: pin blocks, read 20x
+    ids = _collect_vertices(edges)
+    n = len(ids)
+    if n == 0:
+        return pd.DataFrame({"vertex": pd.Series([], dtype=object),
+                             "rank": pd.Series([], dtype="float64")})
+    ids_ref = ray.put(ids)
+
+    def deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        si = np.searchsorted(ray.get(ids_ref), batch["src"].to_numpy())
+        cnt = np.bincount(si, minlength=n)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"i": nz.astype("int64"),
+                             "c": cnt[nz].astype("int64")})
+
+    outdeg = np.zeros(n, dtype=np.int64)
+    for b in edges.map_batches(deg_partial, batch_format="pandas") \
+            .iter_batches(batch_format="pandas"):
+        np.add.at(outdeg, b["i"].to_numpy(), b["c"].to_numpy())
+    safe_deg = np.maximum(outdeg, 1).astype("float64")
+    deg_ref = ray.put(safe_deg)
+
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        rref = ray.put(ranks)
+
+        def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+            idv = ray.get(ids_ref)
+            r = ray.get(rref)
+            d = ray.get(deg_ref)
+            si = np.searchsorted(idv, batch["src"].to_numpy())
+            di = np.searchsorted(idv, batch["dst"].to_numpy())
+            acc = np.bincount(di, weights=r[si] / d[si], minlength=n)
+            nz = np.flatnonzero(acc)
+            return pd.DataFrame({"i": nz.astype("int64"), "x": acc[nz]})
+
+        agg = np.zeros(n)
+        for b in edges.map_batches(contrib, batch_format="pandas") \
+                .iter_batches(batch_format="pandas"):
+            np.add.at(agg, b["i"].to_numpy(), b["x"].to_numpy())
+        dangling = ranks[outdeg == 0].sum()
+        ranks = (1.0 - damping) / n + damping * (agg + dangling / n)
+
+    return pd.DataFrame({"vertex": ids, "rank": ranks})
+
+
+def sssp_distances(edges, source, *, weight_col: str | None = None,
+                   max_rounds: int | None = None) -> pd.DataFrame:
+    """Single-source shortest paths (Bellman-Ford rounds) — the reference
+    sweep's second workload (twitter.json:40: sssp).
+
+    Each round broadcasts the vertex-scale distance vector; one vectorized
+    relax pass over the streamed edge Dataset emits per-batch segment-min
+    (idx, candidate) partials; the driver folds with ``np.minimum.at`` and
+    stops at fixpoint. ``weight_col`` None means unit weights (= BFS).
+    """
+    import ray
+
+    edges = edges.materialize()
+    ids = _collect_vertices(edges)
+    n = len(ids)
+    out_empty = pd.DataFrame({"vertex": pd.Series([], dtype=object),
+                              "dist": pd.Series([], dtype="float64")})
+    if n == 0:
+        return out_empty
+    src_pos = np.searchsorted(ids, source)
+    if src_pos >= n or ids[src_pos] != source:
+        return out_empty
+    ids_ref = ray.put(ids)
+
+    dist = np.full(n, np.inf)
+    dist[src_pos] = 0.0
+    rounds = max_rounds if max_rounds is not None else n - 1
+    for _ in range(max(rounds, 1)):
+        dref = ray.put(dist)
+
+        def relax(batch: pd.DataFrame) -> pd.DataFrame:
+            idv = ray.get(ids_ref)
+            d = ray.get(dref)
+            si = np.searchsorted(idv, batch["src"].to_numpy())
+            di = np.searchsorted(idv, batch["dst"].to_numpy())
+            w = (batch[weight_col].to_numpy(dtype="float64")
+                 if weight_col else np.ones(len(batch)))
+            cand = d[si] + w
+            m = cand < d[di]
+            if not m.any():
+                return pd.DataFrame({"i": pd.Series([], dtype="int64"),
+                                     "x": pd.Series([], dtype="float64")})
+            seg = pd.Series(cand[m]).groupby(di[m]).min()
+            return pd.DataFrame({"i": seg.index.to_numpy(dtype="int64"),
+                                 "x": seg.to_numpy()})
+
+        before = dist.copy()
+        for b in edges.map_batches(relax, batch_format="pandas") \
+                .iter_batches(batch_format="pandas"):
+            np.minimum.at(dist, b["i"].to_numpy(), b["x"].to_numpy())
+        if np.array_equal(before, dist):
+            break
+
+    reach = np.flatnonzero(np.isfinite(dist))
+    return pd.DataFrame({"vertex": ids[reach], "dist": dist[reach]})
+
+
+def connected_components(edges, *, max_rounds: int = 64) -> pd.DataFrame:
+    """Connected components via min-label propagation + path-halving — the
+    reference sweep's third workload (twitter.json:44: connectedcomponents).
+
+    Labels are dense indices into the sorted vertex array, so the converged
+    label of every vertex is the component's MINIMUM vertex id — a
+    deterministic canonical representative (this is also the dedup-cluster
+    resolution step: component min = the one document kept per near-dup
+    cluster). Per round: labels broadcast once; one vectorized pass over the
+    streamed edges emits in-batch segment-min partials; driver folds with
+    ``np.minimum.at`` then shortcuts ``labels = min(labels, labels[labels])``
+    (path halving), so convergence is O(log diameter) rounds, not O(diameter).
+    """
+    import ray
+
+    edges = edges.materialize()
+    ids = _collect_vertices(edges)
+    n = len(ids)
+    if n == 0:
+        return pd.DataFrame({"vertex": pd.Series([], dtype=object),
+                             "component": pd.Series([], dtype=object)})
+    ids_ref = ray.put(ids)
+
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(max_rounds):
+        lref = ray.put(labels)
+
+        def prop(batch: pd.DataFrame) -> pd.DataFrame:
+            idv = ray.get(ids_ref)
+            lab = ray.get(lref)
+            si = np.searchsorted(idv, batch["src"].to_numpy())
+            di = np.searchsorted(idv, batch["dst"].to_numpy())
+            tgt = np.concatenate([si, di])
+            cand = np.concatenate([lab[di], lab[si]])
+            m = cand < lab[tgt]
+            if not m.any():
+                return pd.DataFrame({"i": pd.Series([], dtype="int64"),
+                                     "l": pd.Series([], dtype="int64")})
+            seg = pd.Series(cand[m]).groupby(tgt[m]).min()
+            return pd.DataFrame({"i": seg.index.to_numpy(dtype="int64"),
+                                 "l": seg.to_numpy(dtype="int64")})
+
+        before = labels.copy()
+        for b in edges.map_batches(prop, batch_format="pandas") \
+                .iter_batches(batch_format="pandas"):
+            np.minimum.at(labels, b["i"].to_numpy(), b["l"].to_numpy())
+        labels = np.minimum(labels, labels[labels])  # path halving
+        if np.array_equal(before, labels):
+            break
+
+    return pd.DataFrame({"vertex": ids, "component": ids[labels]})

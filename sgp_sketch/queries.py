@@ -1129,3 +1129,82 @@ GROUP BY user_id
 """
 
 EXACT_QUERIES["user_sessions"] = (user_sessions, USER_SESSIONS_SQL)
+
+def dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTER RESOLUTION — the step after pair finding that a
+    training-data pipeline actually ships: connected components over the
+    MinHash-LSH pair graph (tau=0.95), each doc mapped to its cluster's
+    minimum doc_id (the canonical copy to keep). Components run as
+    min-label propagation + path halving over the streamed pair Dataset
+    (analytics.connected_components); only docs appearing in >=1 pair are
+    returned (singletons are trivially their own canonical)."""
+    from .analytics import connected_components
+    from .dedup import minhash_lsh_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pipeline(ds, n_perm=128, bands=32,
+                                 jaccard_threshold=0.95)
+    edges = pairs.map_batches(
+        lambda b: pd.DataFrame({"src": b["doc_a"], "dst": b["doc_b"]}),
+        batch_format="pandas")
+    cc = connected_components(edges)
+    return pd.DataFrame({
+        "doc_id": cc["vertex"].astype("int64"),
+        "canonical_id": cc["component"].astype("int64"),
+    })
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE
+s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+      FROM documents),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.95
+),
+e AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+reach(v, lbl) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.v, reach.lbl FROM reach JOIN e ON reach.v = e.u
+)
+SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS canonical_id
+FROM reach GROUP BY v
+"""
+
+EXACT_QUERIES["dedup_clusters"] = (dedup_clusters, DEDUP_CLUSTERS_SQL)
+
+
+def pagerank_event_graph(sf_dir: str):
+    """PageRank(20) over the capped user-event graph — the reference
+    analytics sweep's first workload (twitter.json:36) re-expressed as
+    broadcast-rank rounds over the streamed edge Dataset."""
+    from .analytics import pagerank
+
+    edges = _event_graph_edges(sf_dir)
+    out = pagerank(edges, iterations=20)
+    out["rank"] = out["rank"].round(9)
+    return out
+
+
+def sssp_event_graph(sf_dir: str):
+    """Weighted single-source shortest paths from u0 over the capped
+    user-event graph (reference sweep workload 2, twitter.json:40).
+    Deterministic symmetric weights: len(src) + len(dst)."""
+    from .analytics import sssp_distances
+
+    edges = _event_graph_edges(sf_dir)
+
+    def weigh(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["w"] = (b["src"].str.len() + b["dst"].str.len()).astype("float64")
+        return b
+
+    weighted = edges.map_batches(weigh, batch_format="pandas")
+    return sssp_distances(weighted, "u0", weight_col="w", max_rounds=12)
+
+
+ROWS_ONLY_QUERIES["pagerank_event_graph"] = pagerank_event_graph
+ROWS_ONLY_QUERIES["sssp_event_graph"] = sssp_event_graph

@@ -140,3 +140,70 @@ class TestMetisExport:
         # header m == undirected edge count (each edge in both rows)
         total_deg = sum(len(s) for s in orig.values())
         assert m == total_deg // 2
+
+
+# --- iterative workloads (reference sweep: pagerank / sssp / CC) ---------
+
+def _ds(df):
+    import ray.data as rd
+    return rd.from_pandas(df)
+
+
+def test_connected_components_two_chains():
+    from sgp_sketch.analytics import connected_components
+
+    # chain 0-1-2-3, pair 10-11, triangle 20-21-22 (undirected edge rows)
+    e = pd.DataFrame({
+        "src": [0, 1, 1, 2, 2, 3, 10, 11, 20, 21, 21, 22, 22, 20],
+        "dst": [1, 0, 2, 1, 3, 2, 11, 10, 21, 20, 22, 21, 20, 22]})
+    out = connected_components(_ds(e)).set_index("vertex")["component"]
+    assert out.loc[[0, 1, 2, 3]].tolist() == [0, 0, 0, 0]
+    assert out.loc[[10, 11]].tolist() == [10, 10]
+    assert out.loc[[20, 21, 22]].tolist() == [20, 20, 20]
+
+
+def test_connected_components_long_chain_converges():
+    from sgp_sketch.analytics import connected_components
+
+    # path-halving must converge a 60-vertex chain well inside max_rounds
+    n = 60
+    src = list(range(n - 1)) + list(range(1, n))
+    dst = list(range(1, n)) + list(range(n - 1))
+    out = connected_components(_ds(pd.DataFrame({"src": src, "dst": dst})),
+                               max_rounds=16)
+    assert (out["component"] == 0).all()
+
+
+def test_pagerank_matches_power_iteration():
+    from sgp_sketch.analytics import pagerank
+
+    # directed triangle + dangling sink
+    e = pd.DataFrame({"src": [0, 1, 2, 0], "dst": [1, 2, 0, 3]})
+    got = pagerank(_ds(e), iterations=30).set_index("vertex")["rank"]
+
+    n, damp = 4, 0.85
+    M = np.zeros((n, n))
+    deg = np.array([2.0, 1.0, 1.0, 1.0])
+    for s, d in zip(e["src"], e["dst"]):
+        M[d, s] += 1
+    r = np.full(n, 1 / n)
+    for _ in range(30):
+        r = (1 - damp) / n + damp * (M @ (r / deg) + r[3] / n)
+    assert np.allclose(got.loc[[0, 1, 2, 3]].to_numpy(), r, atol=1e-9)
+    assert abs(got.sum() - 1.0) < 1e-9  # rank mass conserved
+
+
+def test_sssp_weighted_vs_unit():
+    from sgp_sketch.analytics import sssp_distances
+
+    e = pd.DataFrame({"src": [0, 0, 1, 2, 3],
+                      "dst": [1, 2, 3, 3, 4],
+                      "w": [1.0, 5.0, 1.0, 1.0, 2.0]})
+    w = sssp_distances(_ds(e), 0, weight_col="w").set_index("vertex")["dist"]
+    assert w.loc[[0, 1, 2, 3, 4]].tolist() == [0.0, 1.0, 5.0, 2.0, 4.0]
+    # unit weights == BFS depth
+    u = sssp_distances(_ds(e), 0).set_index("vertex")["dist"]
+    assert u.loc[[0, 1, 2, 3, 4]].tolist() == [0.0, 1.0, 1.0, 2.0, 3.0]
+    # unreachable source -> empty frame, typed
+    none = sssp_distances(_ds(e), 99)
+    assert len(none) == 0 and list(none.columns) == ["vertex", "dist"]
