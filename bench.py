@@ -57,8 +57,11 @@ def _consume(res):
 def run_bench() -> dict:
     import ray
 
+    # log_to_driver=False: worker print()s would land on OUR stdout and
+    # corrupt the one-JSON-line output contract the driver parses
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

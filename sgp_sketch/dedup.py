@@ -14,6 +14,8 @@ the corpus); the broadcast verifier is an explicit small-corpus opt-in.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -280,8 +282,10 @@ def minhash_lsh_pipeline(
             if e - s < 2:
                 continue
             if e - s > 1000:
+                # stderr: worker stdout streams into the DRIVER's stdout and
+                # would corrupt bench.py's one-JSON-line contract
                 print(f"[minhash-lsh] oversized band bucket: {e - s} docs "
-                      f"— expanding via unioned-set dedup")
+                      f"— expanding via unioned-set dedup", file=sys.stderr)
             blob = docs[s:e].tobytes()  # sorted ids -> canonical bytes
             blobs.append(blob)
             # route by MIN doc id: heavily-overlapping variants of the

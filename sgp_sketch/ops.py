@@ -152,3 +152,85 @@ def broadcast_join(ds, small_df: pd.DataFrame, on: str, select: list[str] | None
 
     ncpu = int(_ray.cluster_resources().get("CPU", 4))
     return ds.map_batches(Joiner, batch_format="pandas", concurrency=max(2, ncpu // 2))
+
+
+def asof_join(left, right, *, on: str, by: str, right_on: str | None = None,
+              right_by: str | None = None, tiebreak: str | None = None,
+              num_buckets: int = 64):
+    """Backward as-of join (inner): each LEFT row pairs with the latest
+    RIGHT row whose ``right_on`` <= ``on`` within the same by-key.
+
+    Ray Data has no as-of join, so this is the bucket-pattern composition:
+    hash the by-key into ``num_buckets`` FIXED buckets on both sides (one
+    co-partitioning shuffle each), union the tagged streams, and run ONE
+    ``groupby(bucket).map_groups`` whose kernel is ``pd.merge_asof`` (C
+    mergesort) over the sorted bucket. No all-pairs, no per-key groups
+    (the ~10ms/Ray-group trap), and the only movement is each row to its
+    bucket — skew is bounded by per-key volume, and bucket count is the
+    block-size knob at scale.
+
+    Right-side ties on (by, on) are broken deterministically: the row with
+    the max ``tiebreak`` wins. (SQL ASOF JOIN is tie-nondeterministic;
+    oracle parity requires pre-deduplicating the right side the same way.)
+    Both sides must have disjoint column names.
+    """
+    r_on = right_on or on
+    r_by = right_by or by
+    ls, rs = left.schema(), right.schema()
+    l_pa = pa.schema(list(zip(ls.names, ls.types)))
+    r_pa = pa.schema(list(zip(rs.names, rs.types)))
+    l_names, r_names = list(l_pa.names), list(r_pa.names)
+    overlap = set(l_names) & set(r_names)
+    if overlap:
+        raise ValueError(f"asof_join requires disjoint columns, got {overlap}")
+    full = pa.schema(list(l_pa) + list(r_pa))
+    l_dtypes = {c: d for c, d in
+                l_pa.empty_table().to_pandas().dtypes.to_dict().items()}
+    r_dtypes = {c: d for c, d in
+                r_pa.empty_table().to_pandas().dtypes.to_dict().items()}
+
+    def _tag(side: int, key_col: str, own: set):
+        def f(t: pa.Table) -> pa.Table:
+            key = t[key_col].to_pandas().to_numpy()
+            bucket = (pd.util.hash_array(key) % num_buckets).astype("int64")
+            cols, names = [], []
+            for fld in full:
+                if fld.name in own:
+                    col = t[fld.name]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    cols.append(col)
+                else:
+                    cols.append(pa.nulls(len(t), type=fld.type))
+                names.append(fld.name)
+            cols.append(pa.array(bucket))
+            names.append("__bucket")
+            cols.append(pa.array(np.full(len(t), side, dtype=np.int8)))
+            names.append("__side")
+            return pa.Table.from_arrays(cols, names=names)
+        return f
+
+    tagged = left.map_batches(_tag(0, by, set(l_names)),
+                              batch_format="pyarrow") \
+        .union(right.map_batches(_tag(1, r_by, set(r_names)),
+                                 batch_format="pyarrow"))
+    out_dtypes = {**l_dtypes, **r_dtypes}
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == 0, l_names]
+        r = g.loc[g["__side"] == 1, r_names]
+        if l.empty or r.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=d) for c, d in out_dtypes.items()})
+        l = l.astype(l_dtypes).sort_values(on, kind="mergesort")
+        r = r.astype(r_dtypes)
+        if tiebreak is not None:
+            r = r.sort_values([r_by, r_on, tiebreak], kind="mergesort") \
+                 .drop_duplicates([r_by, r_on], keep="last")
+        r = r.sort_values(r_on, kind="mergesort")
+        out = pd.merge_asof(l, r, left_on=on, right_on=r_on,
+                            left_by=by, right_by=r_by, direction="backward")
+        out = out.dropna(subset=[r_on])
+        return out.astype(out_dtypes)
+
+    return tagged.groupby("__bucket").map_groups(_merge, batch_format="pandas")

@@ -1208,3 +1208,36 @@ def sssp_event_graph(sf_dir: str):
 
 ROWS_ONLY_QUERIES["pagerank_event_graph"] = pagerank_event_graph
 ROWS_ONLY_QUERIES["sssp_event_graph"] = sssp_event_graph
+
+
+def events_last_order_asof(sf_dir: str):
+    """AS-OF JOIN: each event paired with the user's most recent order at
+    event time (backward inner; right ties broken by max o_orderkey —
+    matching the SQL oracle's rn=1 dedup). The operator Ray Data lacks,
+    composed as bucket co-partition + one 64-group merge_asof kernel
+    (ops.asof_join)."""
+    from .ops import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = asof_join(events, orders, on="ts", by="user_id",
+                    right_on="o_orderdate", right_by="o_custkey",
+                    tiebreak="o_orderkey")
+    return out.select_columns(
+        ["event_id", "user_id", "ts", "o_orderkey", "o_totalprice"])
+
+
+EVENTS_ASOF_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+FROM events e ASOF JOIN (SELECT * FROM o WHERE rn = 1) o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+EXACT_QUERIES["events_last_order_asof"] = (events_last_order_asof,
+                                           EVENTS_ASOF_SQL)

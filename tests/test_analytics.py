@@ -207,3 +207,31 @@ def test_sssp_weighted_vs_unit():
     # unreachable source -> empty frame, typed
     none = sssp_distances(_ds(e), 99)
     assert len(none) == 0 and list(none.columns) == ["vertex", "dist"]
+
+
+def test_asof_join_backward_with_ties():
+    from sgp_sketch.ops import asof_join
+
+    left = pd.DataFrame({
+        "ev": [1, 2, 3, 4, 5],
+        "u": [10, 10, 10, 20, 30],
+        "t": pd.to_datetime(["2024-01-05", "2024-01-10", "2024-01-01",
+                             "2024-01-07", "2024-01-07"]),
+    })
+    right = pd.DataFrame({
+        "ok": [100, 101, 102, 103, 104],
+        "cust": [10, 10, 10, 20, 20],
+        "od": pd.to_datetime(["2024-01-02", "2024-01-02", "2024-01-08",
+                              "2024-01-09", "2024-01-06"]),
+        "amt": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    out = asof_join(_ds(left), _ds(right), on="t", by="u",
+                    right_on="od", right_by="cust", tiebreak="ok",
+                    num_buckets=4).to_pandas().sort_values("ev")
+    # ev1 (u10 @05) -> tie at 01-02 broken by max ok=101; ev2 (@10) -> 102;
+    # ev3 (@01) -> no order yet (dropped); ev4 (u20 @07) -> 104 (01-06);
+    # ev5 (u30) -> no orders for u30 (dropped)
+    assert out["ev"].tolist() == [1, 2, 4]
+    assert out["ok"].tolist() == [101, 102, 104]
+    assert out["amt"].tolist() == [2.0, 3.0, 5.0]
+    assert out["ok"].dtype == "int64"
