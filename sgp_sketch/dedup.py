@@ -247,17 +247,29 @@ def minhash_lsh_pipeline(
 
     buckets = ds.map_batches(signer, batch_format="pandas")
 
-    # ---- candidate generation via DISTINCT bucket sets.
+    # ---- candidate generation via STAR EDGES + connected components.
     # A near-dup cluster collides in (nearly) every band, so naive
     # per-(band,bucket) pair expansion re-emits the same O(|C|^2) pairs up
     # to ``bands`` times (measured 86M candidate rows for a 2.3k-doc
-    # cluster at sf0.1). Instead: (1) ONE shuffle routes bucket members by
-    # hash(band,bucket) into 64 fixed groups (never one Ray group per
-    # bucket — ~10ms/group overhead); (2) each group run-length-segments
-    # its buckets vectorized and emits one CANONICAL ids-blob per bucket;
-    # (3) a second tiny shuffle dedups identical blobs (byte equality —
-    # the same cluster across 32 bands collapses to one row); (4) pairs
-    # expand from distinct sets only, then dedup_pairs as usual.
+    # cluster at sf0.1; a min-id set-union variant still left 12M unique
+    # candidates because per-band SUBSETS of the cluster carry different
+    # minima and expand separately). Instead:
+    # (1) ONE shuffle routes bucket members by hash(band,bucket) into 64
+    #     fixed groups (never one Ray group per bucket — ~10ms/group);
+    # (2) each group run-length-segments its buckets vectorized and emits
+    #     only STAR edges (bucket-min -> member): O(members) rows, never
+    #     O(members^2);
+    # (3) connected components over the deduped star edges (vertex-scale
+    #     label state, tiny edge stream) merge every band-subset of a
+    #     cluster into ONE component;
+    # (4) all-pairs expand once per component. Components are disjoint, so
+    #     each candidate pair is emitted exactly once — no second
+    #     pair-dedup shuffle. Candidate recall is a SUPERSET of per-bucket
+    #     LSH (every bucket lies inside one component); exact verification
+    #     filters. Trade-off (documented): a chain of pairwise-similar
+    #     docs expands as one component, which can over-generate
+    #     candidates on adversarial chains — verification keeps the
+    #     answer exact either way.
     def _route(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
         bu = batch["bucket"].to_numpy().astype(np.uint64)
@@ -268,7 +280,7 @@ def minhash_lsh_pipeline(
 
     routed = buckets.map_batches(_route, batch_format="pandas")
 
-    def _sets(g: pd.DataFrame) -> pd.DataFrame:
+    def _star(g: pd.DataFrame) -> pd.DataFrame:
         g2 = g.sort_values(["band", "bucket", doc_col])
         band = g2["band"].to_numpy()
         buck = g2["bucket"].to_numpy().astype(np.uint64)
@@ -276,54 +288,97 @@ def minhash_lsh_pipeline(
         new = np.ones(len(g2), dtype=bool)
         new[1:] = (band[1:] != band[:-1]) | (buck[1:] != buck[:-1])
         starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(g2)))
+        src = np.repeat(docs[starts], lens - 1)  # bucket-min (docs sorted)
+        dst = docs[~new]                         # every non-first member
+        if len(src) == 0:
+            return _empty_pairs()
+        return pd.DataFrame({"doc_a": src, "doc_b": dst})
+
+    star = dedup_pairs(
+        routed.groupby("skey").map_groups(_star, batch_format="pandas"))
+
+    from .analytics import connected_components
+
+    comp = connected_components(star.map_batches(
+        lambda b: b.rename(columns={"doc_a": "src", "doc_b": "dst"}),
+        batch_format="pandas"))
+
+    # ---- expansion with a SIGNATURE PREFILTER.
+    # On template-heavy corpora most doc pairs sit at Jaccard 0.5-0.9, so
+    # the candidate graph is dense no matter how buckets are combined
+    # (measured 12.4M candidates for 191k true pairs at sf0.1) and exact
+    # per-pair verification dominates wall time. Each doc's minhash
+    # signature rides into the expansion group (one keyed join), and the
+    # component expansion estimates J for every in-component pair as the
+    # fraction of equal minhash slots — a vectorized (chunk x chunk)
+    # integer compare, no per-pair Python. Only pairs with
+    # est >= tau - max(0.10, 8*sigma), sigma = sqrt(tau(1-tau)/n_perm),
+    # proceed to EXACT verification: at tau=.95/n_perm=128 that margin is
+    # ~7.8 standard errors, i.e. P(drop a true pair) ~ 1e-14 per pair —
+    # the answer stays exact; mid-similarity pairs (the bulk) never reach
+    # the verify shuffle.
+    pref_t = max(0.0, jaccard_threshold
+                 - max(0.10, 8.0 * float(np.sqrt(jaccard_threshold
+                       * (1.0 - jaccard_threshold) / n_perm))))
+
+    def _sig_tbl(batch: pd.DataFrame) -> pd.DataFrame:
+        words = [_shingles(ws, shingle)
+                 for ws in batch[text_col].str.split(" ").tolist()]
+        sig = minhash_signatures(words, a, b)
+        return pd.DataFrame({"vertex": batch[doc_col].to_numpy(),
+                             "sig": [row.tobytes() for row in sig]})
+
+    # A mega-component must not expand in ONE task: docs get a chunk rank
+    # within their component (driver-side, vertex-scale), every (ci<=cj)
+    # chunk TILE becomes an independent unit of work, and each doc row is
+    # duplicated once per tile it participates in (n_chunks rows/doc —
+    # quadratic work split into balanced tiles, which is exactly what
+    # all-pairs over a dup cluster costs no matter how it is scheduled).
+    # Tiles hash into 64 fixed groups; signatures join per tile row.
+    _CHUNK = 512  # tile side: est working set per tile ~ 512*512*2B
+
+    def _expand_tiles(g: pd.DataFrame) -> pd.DataFrame:
+        g2 = g.sort_values(["component", "ci", "cj", "chunk", "vertex"])
+        key = (g2["component"].to_numpy(), g2["ci"].to_numpy(),
+               g2["cj"].to_numpy())
+        docs = g2["vertex"].to_numpy().astype(np.int64)
+        chunk = g2["chunk"].to_numpy()
+        sig_blobs = g2["sig"].tolist()
+        new = np.ones(len(g2), dtype=bool)
+        new[1:] = ((key[0][1:] != key[0][:-1]) | (key[1][1:] != key[1][:-1])
+                   | (key[2][1:] != key[2][:-1]))
+        starts = np.flatnonzero(new)
         ends = np.append(starts[1:], len(g2))
-        blobs, sbuckets = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            if e - s > 1000:
-                # stderr: worker stdout streams into the DRIVER's stdout and
-                # would corrupt bench.py's one-JSON-line contract
-                print(f"[minhash-lsh] oversized band bucket: {e - s} docs "
-                      f"— expanding via unioned-set dedup", file=sys.stderr)
-            blob = docs[s:e].tobytes()  # sorted ids -> canonical bytes
-            blobs.append(blob)
-            # route by MIN doc id: heavily-overlapping variants of the
-            # same cluster (one per band) share their minimum with high
-            # probability, so they meet in one group and UNION below —
-            # the cluster expands once, not once per band
-            sbuckets.append(int(docs[s]) % _DEDUP_BUCKETS)
-        return pd.DataFrame({"ids": pd.Series(blobs, dtype=object),
-                             "sbucket": pd.Series(sbuckets, dtype="int64")})
-
-    bucket_sets = routed.groupby("skey").map_groups(_sets,
-                                                    batch_format="pandas")
-
-    def _union_sets(g: pd.DataFrame) -> pd.DataFrame:
-        """Union all bucket sets sharing a min id. The union's pair
-        expansion is a SUPERSET of the per-bucket expansions (LSH
-        candidates only need to contain every true pair; verification
-        filters), and it collapses the per-band duplication that would
-        otherwise expand a near-dup cluster ``bands`` times."""
-        out: dict[int, np.ndarray] = {}
-        for blob in g["ids"].drop_duplicates():
-            ids = np.frombuffer(blob, dtype=np.int64)
-            key = int(ids[0])
-            prev = out.get(key)
-            out[key] = ids if prev is None else np.union1d(prev, ids)
-        return pd.DataFrame({"ids": pd.Series(
-            [v.tobytes() for v in out.values()], dtype=object)})
-
-    distinct_sets = bucket_sets.groupby("sbucket").map_groups(
-        _union_sets, batch_format="pandas")
-
-    def _expand(batch: pd.DataFrame) -> pd.DataFrame:
         outs_a, outs_b = [], []
-        for blob in batch["ids"]:
-            ids = np.frombuffer(blob, dtype=np.int64)
-            a, b = _all_pairs_sorted(ids)
-            outs_a.append(a)
-            outs_b.append(b)
+        for s, e in zip(starts, ends):
+            ci, cj = key[1][s], key[2][s]
+            seg_chunk = chunk[s:e]
+            if ci == cj:
+                d_a = d_b = docs[s:e]
+                S_a = S_b = np.frombuffer(
+                    b"".join(sig_blobs[s:e]), dtype=np.uint64).reshape(-1, n_perm)
+                triangular = True
+            else:
+                am = seg_chunk == ci
+                if not am.any() or am.all():
+                    continue  # tile missing one side: no cross pairs
+                d_a = docs[s:e][am]
+                d_b = docs[s:e][~am]
+                blobs = np.array(sig_blobs[s:e], dtype=object)
+                S_a = np.frombuffer(b"".join(blobs[am]),
+                                    dtype=np.uint64).reshape(-1, n_perm)
+                S_b = np.frombuffer(b"".join(blobs[~am]),
+                                    dtype=np.uint64).reshape(-1, n_perm)
+                triangular = False
+            eq = np.zeros((len(d_a), len(d_b)), dtype=np.int16)
+            for p in range(n_perm):
+                eq += S_a[:, p, None] == S_b[None, :, p]
+            ii, jj = np.nonzero(eq >= pref_t * n_perm)
+            pa_, pb_ = d_a[ii], d_b[jj]
+            keep = pa_ < pb_ if triangular else np.ones(len(pa_), dtype=bool)
+            outs_a.append(pa_[keep])
+            outs_b.append(pb_[keep])
         if not outs_a:
             return _empty_pairs()
         return pd.DataFrame({
@@ -331,8 +386,39 @@ def minhash_lsh_pipeline(
             "doc_b": np.concatenate(outs_b).astype("int64"),
         })
 
-    cand = distinct_sets.map_batches(_expand, batch_format="pandas")
-    cand = dedup_pairs(cand)
+    import ray.data as _rd
+
+    if len(comp) == 0:
+        cand = _rd.from_pandas(_empty_pairs())
+    else:
+        comp = comp.sort_values(["component", "vertex"]).reset_index(drop=True)
+        rank = comp.groupby("component").cumcount().to_numpy()
+        chunk = rank // _CHUNK
+        sizes = comp.groupby("component")["vertex"].transform("size").to_numpy()
+        nch = (sizes - 1) // _CHUNK + 1
+        # duplicate each row once per tile: (min(c,x), max(c,x)) for all x
+        rep = np.repeat(np.arange(len(comp)), nch)
+        off = np.arange(len(rep)) - np.repeat(
+            np.concatenate([[0], np.cumsum(nch)[:-1]]), nch)
+        c_rep = chunk[rep]
+        ci = np.minimum(c_rep, off)
+        cj = np.maximum(c_rep, off)
+        tiles = pd.DataFrame({
+            "vertex": comp["vertex"].to_numpy()[rep],
+            "component": comp["component"].to_numpy()[rep],
+            "chunk": c_rep.astype("int64"),
+            "ci": ci.astype("int64"),
+            "cj": cj.astype("int64"),
+        })
+        tkey = splitmix64(tiles["component"].to_numpy().astype(np.uint64)
+                          ^ splitmix64((ci * 1_000_003 + cj).astype(np.uint64)))
+        tiles["tkey"] = (tkey % np.uint64(_DEDUP_BUCKETS)).astype("int64")
+        sig_tbl = ds.select_columns([doc_col, text_col]).map_batches(
+            _sig_tbl, batch_format="pandas")
+        with_sig = _rd.from_pandas(tiles).join(
+            sig_tbl, join_type="inner", num_partitions=8, on=("vertex",))
+        cand = with_sig.groupby("tkey").map_groups(
+            _expand_tiles, batch_format="pandas")
 
     if verify_mode == "join":
         return _verify_pairs_join(ds, cand, jaccard_threshold, doc_col,
