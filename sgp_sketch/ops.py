@@ -234,3 +234,56 @@ def asof_join(left, right, *, on: str, by: str, right_on: str | None = None,
         return out.astype(out_dtypes)
 
     return tagged.groupby("__bucket").map_groups(_merge, batch_format="pandas")
+
+
+def interval_join(left, right, *, key: str, left_t: str, right_key: str,
+                  right_start: str, right_end: str, grid_us: int,
+                  num_partitions: int = 16):
+    """Range (interval) join: each LEFT row pairs with every RIGHT row of
+    the same key whose [start, end) interval contains the left timestamp.
+
+    Ray Data has no range join; the scale shape is TIME-GRID co-bucketing:
+    right rows replicate into every grid cell their interval covers
+    (bounded by interval_width/grid_us + 1 copies — pick ``grid_us`` at or
+    above the max interval width so it is <= 2), left rows key into their
+    single cell, and ONE equi hash join on (key, cell) finds all
+    candidates; an exact containment filter finishes. Each matching pair
+    meets in exactly one cell (the left row's), so no dedup pass is
+    needed. All timestamps must be Arrow timestamps; comparison happens on
+    int64 epoch-us.
+    """
+
+    def _left_cells(t: pa.Table) -> pa.Table:
+        ts = t[left_t]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        cell = pc.divide(pc.cast(ts, pa.int64()), grid_us)
+        return t.append_column("__cell", pc.cast(cell, pa.int64()))
+
+    def _right_cells(t: pa.Table) -> pa.Table:
+        lo = t[right_start].to_pandas().astype("int64").to_numpy()
+        hi = t[right_end].to_pandas().astype("int64").to_numpy()
+        c0 = lo // grid_us
+        c1 = np.maximum((hi - 1) // grid_us, c0)  # end exclusive
+        reps = (c1 - c0 + 1).astype("int64")
+        idx = np.repeat(np.arange(len(t)), reps)
+        off = np.arange(len(idx)) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+        cells = c0[idx] + off
+        out = t.take(pa.array(idx))
+        return out.append_column("__cell", pa.array(cells.astype("int64")))
+
+    lc = left.map_batches(_left_cells, batch_format="pyarrow")
+    rc = right.map_batches(_right_cells, batch_format="pyarrow")
+    joined = lc.join(rc, join_type="inner", num_partitions=num_partitions,
+                     on=(key, "__cell"), right_on=(right_key, "__cell"))
+
+    def _contain(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[left_t], pa.int64())
+        lo = pc.cast(t[right_start], pa.int64())
+        hi = pc.cast(t[right_end], pa.int64())
+        keep = pc.and_(pc.greater_equal(ts, lo), pc.less(ts, hi))
+        out = t.filter(keep)
+        return out.drop_columns(["__cell"])
+
+    return joined.map_batches(_contain, batch_format="pyarrow")

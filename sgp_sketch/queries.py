@@ -1241,3 +1241,72 @@ FROM events e ASOF JOIN (SELECT * FROM o WHERE rn = 1) o
 
 EXACT_QUERIES["events_last_order_asof"] = (events_last_order_asof,
                                            EVENTS_ASOF_SQL)
+
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def purchase_follow_window(sf_dir: str):
+    """RANGE JOIN: for every purchase event, the same user's events inside
+    the 1-day window starting at the purchase (time-grid co-bucketed
+    interval join, ops.interval_join — each interval covers <= 2 day
+    cells), aggregated per purchase through the 64-bucket fold (never one
+    Ray group per purchase)."""
+    from .ops import interval_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        typ = t["event_type"]
+        if isinstance(typ, pa.ChunkedArray):
+            typ = typ.combine_chunks()
+        p = t.filter(pc.equal(typ, "purchase"))
+        start = p["ts"]
+        if isinstance(start, pa.ChunkedArray):
+            start = start.combine_chunks()
+        end = pc.cast(pc.add(pc.cast(start, pa.int64()), _DAY_US),
+                      pa.timestamp("us"))
+        return pa.Table.from_arrays(
+            [p["event_id"], p["user_id"], start, end],
+            names=["p_event_id", "p_user_id", "p_start", "p_end"])
+
+    windows = _read(sf_dir, "events",
+                    ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(purchases, batch_format="pyarrow")
+
+    joined = interval_join(
+        events, windows, key="user_id", left_t="ts", right_key="p_user_id",
+        right_start="p_start", right_end="p_end", grid_us=_DAY_US)
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("p_event_id").agg(
+            n_follow=("event_id", "size"),
+            max_event_id=("event_id", "max"),
+            max_value=("value", "max")).reset_index()
+        g["bucket"] = (g["p_event_id"] % 64).astype("int64")
+        return g
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("p_event_id").agg(
+            n_follow=("n_follow", "sum"),
+            max_event_id=("max_event_id", "max"),
+            max_value=("max_value", "max")).reset_index()
+
+    return joined.map_batches(_partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(_fold, batch_format="pandas")
+
+
+PURCHASE_FOLLOW_SQL = """
+SELECT p.event_id AS p_event_id,
+       count(*) AS n_follow,
+       max(e.event_id) AS max_event_id,
+       max(e.value) AS max_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 DAY
+GROUP BY p.event_id
+"""
+
+EXACT_QUERIES["purchase_follow_window"] = (purchase_follow_window,
+                                           PURCHASE_FOLLOW_SQL)

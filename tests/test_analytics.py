@@ -235,3 +235,29 @@ def test_asof_join_backward_with_ties():
     assert out["ok"].tolist() == [101, 102, 104]
     assert out["amt"].tolist() == [2.0, 3.0, 5.0]
     assert out["ok"].dtype == "int64"
+
+
+def test_interval_join_grid_edges():
+    import pyarrow as pa
+    from sgp_sketch.ops import interval_join
+
+    # grid = 10us; interval [8, 23) spans cells 0,1,2; checks end-exclusive
+    # boundary, cross-cell matching, and key isolation
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2],
+        "t": pd.to_datetime([8, 15, 22, 23, 15], unit="us"),
+        "lv": [10, 11, 12, 13, 14],
+    })
+    right = pd.DataFrame({
+        "rk": [1, 2],
+        "start": pd.to_datetime([8, 100], unit="us"),
+        "end": pd.to_datetime([23, 110], unit="us"),
+        "rv": [7, 8],
+    })
+    out = interval_join(_ds(left), _ds(right), key="k", left_t="t",
+                        right_key="rk", right_start="start", right_end="end",
+                        grid_us=10).to_pandas().sort_values("lv")
+    # t=8,15,22 match k=1 window; t=23 excluded (end-exclusive); k=2 event
+    # does not match k=2's [100,110) window
+    assert out["lv"].tolist() == [10, 11, 12]
+    assert (out["rv"] == 7).all()
