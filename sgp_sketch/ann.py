@@ -394,3 +394,37 @@ def lsh_neardup_pairs(ds, threshold: float = 0.9, n_bits: int = 8, seed: int = 1
                              "sim": sims[ii, jj].round(6)})
 
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+
+
+def kmeans_assign(ds, *, n_centroids: int = 16, seed: int = 13,
+                  train_rows: int = 4096, id_col: str = "vec_id",
+                  vec_col: str = "embedding"):
+    """Distributed embedding clustering: seeded spherical k-means trained on
+    a bounded driver-side sample (quantizer is vocab-scale state, broadcast
+    once), then ONE streamed assignment pass — per batch a single matmul
+    against the centroid matrix. Returns (id, cluster, sim_e6) rows; the
+    training-data curation primitive behind cluster-balanced sampling and
+    semantic dedup, and the same quantizer the IVF index uses."""
+    import ray
+
+    sample = ds.select_columns([vec_col]).limit(train_rows)
+    mats = [_stack(bt[vec_col])
+            for bt in sample.iter_batches(batch_format="pyarrow")]
+    cents = _spherical_kmeans(_normalize(np.vstack(mats)), n_centroids,
+                              seed=seed)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        c = ray.get(cref)  # worker-local plasma read
+        x = _normalize(_stack(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = x @ c.T
+        a = sims.argmax(axis=1)
+        return pd.DataFrame({
+            id_col: ids.astype("int64"),
+            "cluster": a.astype("int64"),
+            "sim_e6": np.floor(sims.max(axis=1) * 1_000_000 + 0.5)
+            .astype("int64"),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1310,3 +1310,58 @@ GROUP BY p.event_id
 
 EXACT_QUERIES["purchase_follow_window"] = (purchase_follow_window,
                                            PURCHASE_FOLLOW_SQL)
+
+
+def sample_split_counts(sf_dir: str):
+    """Deterministic content-hash train/val split (the reproducible-split
+    primitive every training pipeline needs): docs route to 'val' when the
+    first hex digit of md5(text) is 0 or 1 (exactly 2/16 of hash space),
+    counted per (source, split). Pure map + tiny groupby — no shuffle of
+    document payloads."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def _split(b: pd.DataFrame) -> pd.DataFrame:
+        first = [hashlib.md5(t.encode("utf-8")).hexdigest()[0]
+                 for t in b["text"]]
+        split = np.where(np.isin(np.array(first), ("0", "1")),
+                         "val", "train")
+        return pd.DataFrame({"source": b["source"], "split": split}) \
+            .groupby(["source", "split"]).size().rename("n_docs") \
+            .reset_index()
+
+    return ds.map_batches(_split, batch_format="pandas") \
+        .groupby(["source", "split"]).sum("n_docs") \
+        .map_batches(lambda b: b.rename(columns={"sum(n_docs)": "n_docs"}),
+                     batch_format="pandas")
+
+
+SAMPLE_SPLIT_SQL = """
+SELECT source,
+       CASE WHEN substr(md5(text), 1, 1) IN ('0', '1')
+            THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+EXACT_QUERIES["sample_split_counts"] = (sample_split_counts,
+                                        SAMPLE_SPLIT_SQL)
+
+
+def embedding_kmeans(sf_dir: str):
+    """Embedding k-means cluster profile (seeded trainer; counts + mean
+    centroid similarity per cluster) — the curation view behind
+    cluster-balanced sampling."""
+    from .ann import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kmeans_assign(ds, n_centroids=16).to_pandas()
+    g = out.groupby("cluster").agg(
+        n_vecs=("vec_id", "size"),
+        mean_sim_e6=("sim_e6", "mean")).reset_index()
+    g["mean_sim_e6"] = np.floor(g["mean_sim_e6"] + 0.5).astype("int64")
+    return g
+
+
+ROWS_ONLY_QUERIES["embedding_kmeans"] = embedding_kmeans

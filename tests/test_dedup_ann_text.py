@@ -294,3 +294,23 @@ class TestScalePathVariants:
                                  verify_mode="join").to_pandas()
         assert set(zip(b["doc_a"], b["doc_b"])) == set(zip(j["doc_a"], j["doc_b"]))
         assert len(j) > 0
+
+
+def test_kmeans_assign_deterministic_and_complete(ray_session):
+    import ray.data as rd
+
+    from sgp_sketch.ann import kmeans_assign
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 16
+    vecs = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"),
+                       "embedding": [row.tolist() for row in vecs]})
+    a1 = kmeans_assign(rd.from_pandas(df), n_centroids=8).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    a2 = kmeans_assign(rd.from_pandas(df), n_centroids=8).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert a1.equals(a2)                       # seeded -> identical runs
+    assert len(a1) == n                        # every vector assigned
+    assert a1["cluster"].between(0, 7).all()
+    assert a1["cluster"].nunique() > 1         # non-degenerate clustering
