@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "ann_topk",
     "sketch_estimates",
+    "dedup_clusters",
+    "events_last_order_asof",
+    "purchase_follow_window",
+    "pagerank_event_graph",
 ]
 
 

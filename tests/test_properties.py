@@ -82,8 +82,13 @@ def test_kll_merge_rank_bound(data, cuts):
     assert merged.n == len(arr)
     for q in (0.25, 0.5, 0.75):
         est = merged.quantile(q)
-        rank = (arr <= est).mean()
-        assert abs(rank - q) <= 0.12  # small-n slack over the 1/k bound
+        # with duplicated atoms the rank of a value is an INTERVAL
+        # [P(X < est), P(X <= est)] — e.g. all-zero data puts every
+        # quantile at 0 whose interval is [0, 1]; the bound is on the
+        # distance from q to that interval (small-n slack over 1/k)
+        lo = (arr < est).mean()
+        hi = (arr <= est).mean()
+        assert lo - 0.12 <= q <= hi + 0.12
 
 
 @settings(max_examples=25, deadline=None)
