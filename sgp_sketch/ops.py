@@ -287,3 +287,49 @@ def interval_join(left, right, *, key: str, left_t: str, right_key: str,
         return out.drop_columns(["__cell"])
 
     return joined.map_batches(_contain, batch_format="pyarrow")
+
+
+def pack_sequences(ds, *, cap: int, id_col: str = "doc_id",
+                   len_col: str = "n_tok", num_buckets: int = 64):
+    """Sequence packing (the LLM-training sample-packing step): documents
+    pack greedily into sequences of at most ``cap`` tokens.
+
+    Deterministic and distributed: docs hash-route into ``num_buckets``
+    fixed buckets (ONE shuffle of (id, len) rows — payloads never move),
+    pack NEXT-FIT in doc-id order inside each bucket. The packing loop
+    iterates over SEQUENCES, not docs (each boundary is one searchsorted
+    on the length cumsum), so a bucket of k docs forming s sequences costs
+    O(s log k) plus the sort. Docs longer than ``cap`` become singleton
+    (oversize) sequences — never dropped, never split.
+
+    Returns one manifest row per doc: (id, len, bucket, seq) where ``seq``
+    numbers sequences within the bucket; (bucket, seq) is the global
+    sequence key.
+    """
+
+    def _route(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[id_col, len_col]].copy()
+        out["bucket"] = (pd.util.hash_array(b[id_col].to_numpy())
+                         % num_buckets).astype("int64")
+        return out
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        g2 = g.sort_values(id_col)
+        lens = g2[len_col].to_numpy(dtype=np.int64)
+        n = len(lens)
+        cum = np.concatenate([[0], np.cumsum(lens)])
+        seq = np.empty(n, dtype=np.int64)
+        i = sid = 0
+        while i < n:
+            # furthest j with sum(lens[i:j]) <= cap; oversize doc -> j=i+1
+            j = int(np.searchsorted(cum, cum[i] + cap, side="right")) - 1
+            j = max(j, i + 1)
+            seq[i:j] = sid
+            sid += 1
+            i = j
+        out = g2.copy()
+        out["seq"] = seq
+        return out
+
+    return ds.map_batches(_route, batch_format="pandas") \
+        .groupby("bucket").map_groups(_pack, batch_format="pandas")

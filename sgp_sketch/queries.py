@@ -1365,3 +1365,121 @@ def embedding_kmeans(sf_dir: str):
 
 
 ROWS_ONLY_QUERIES["embedding_kmeans"] = embedding_kmeans
+
+
+_CURATION_Q6 = 600_000
+
+
+def corpus_curation(sf_dir: str):
+    """END-TO-END CURATION: the composed filter chain a training corpus
+    actually ships through — quality score >= threshold, deterministic
+    md5 train split, and near-dup cluster resolution (only each cluster's
+    canonical doc survives) — counted per source. One streamed pass over
+    the documents; the non-canonical drop set is vertex-scale and
+    broadcasts once."""
+    import hashlib
+
+    import ray
+
+    from .text import quality_features
+
+    clusters = dedup_clusters(sf_dir)
+    drop = np.sort(clusters.loc[
+        clusters["doc_id"] != clusters["canonical_id"], "doc_id"].to_numpy())
+    dref = ray.put(drop)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def _filt(b: pd.DataFrame) -> pd.DataFrame:
+        qf = quality_features(b[["doc_id", "text"]])
+        q6 = qf["quality_e6"].to_numpy()
+        first = np.array([hashlib.md5(t.encode("utf-8")).hexdigest()[0]
+                          for t in b["text"]])
+        keep = ((q6 >= _CURATION_Q6)
+                & ~np.isin(first, ("0", "1"))
+                & ~np.isin(b["doc_id"].to_numpy(), ray.get(dref)))
+        return b.loc[keep].groupby("source").size().rename("n_docs") \
+            .reset_index()
+
+    return ds.map_batches(_filt, batch_format="pandas") \
+        .groupby("source").sum("n_docs") \
+        .map_batches(lambda b: b.rename(columns={"sum(n_docs)": "n_docs"}),
+                     batch_format="pandas")
+
+
+CORPUS_CURATION_SQL = f"""
+WITH RECURSIVE
+sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+         FROM documents),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.95
+),
+e AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+reach(v, lbl) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.v, reach.lbl FROM reach JOIN e ON reach.v = e.u
+),
+drop_docs AS (
+  SELECT v AS doc_id FROM reach GROUP BY v HAVING v != min(lbl)
+),
+q AS (
+  SELECT doc_id,
+         CAST(floor((0.4 * least(1.0, n_words / 100.0)
+               + 0.3 * (1.0 - stop_hits / greatest(n_words, 1))
+               + 0.3 * least(1.0, char_len / 500.0)) * 1000000 + 0.5)
+              AS BIGINT) AS quality_e6
+  FROM (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_filter(string_split(text, ' '),
+                           x -> x IN ({_STOP_IN}))) AS stop_hits,
+           length(text) AS char_len
+    FROM documents)
+)
+SELECT d.source, count(*) AS n_docs
+FROM documents d JOIN q USING (doc_id)
+WHERE q.quality_e6 >= {_CURATION_Q6}
+  AND substr(md5(d.text), 1, 1) NOT IN ('0', '1')
+  AND d.doc_id NOT IN (SELECT doc_id FROM drop_docs)
+GROUP BY d.source
+"""
+
+EXACT_QUERIES["corpus_curation"] = (corpus_curation, CORPUS_CURATION_SQL)
+
+
+def packed_sequences(sf_dir: str):
+    """Sample packing manifest: documents (token length = word count) pack
+    next-fit into 512-token sequences (ops.pack_sequences); per-sequence
+    summary with fill ratio. Deterministic hash-bucket + id-order packing."""
+    from .ops import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _ntok(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = pc.list_value_length(pc.split_pattern(text, " "))
+        return pa.Table.from_arrays(
+            [t["doc_id"], pc.cast(n, pa.int64())], names=["doc_id", "n_tok"])
+
+    manifest = pack_sequences(ds.map_batches(_ntok, batch_format="pyarrow"),
+                              cap=512)
+
+    def _summary(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["bucket", "seq"]).agg(
+            n_docs=("doc_id", "size"), sum_tok=("n_tok", "sum")).reset_index()
+        g["fill_e6"] = np.floor(np.minimum(g["sum_tok"] / 512.0, 1.0)
+                                * 1_000_000 + 0.5).astype("int64")
+        return g
+
+    # manifest blocks are exactly the per-bucket groups, so the per-batch
+    # summary is already per-sequence-complete; no second shuffle needed
+    return manifest.map_batches(_summary, batch_format="pandas")
+
+
+ROWS_ONLY_QUERIES["packed_sequences"] = packed_sequences

@@ -261,3 +261,25 @@ def test_interval_join_grid_edges():
     # does not match k=2's [100,110) window
     assert out["lv"].tolist() == [10, 11, 12]
     assert (out["rv"] == 7).all()
+
+
+def test_pack_sequences_invariants():
+    from sgp_sketch.ops import pack_sequences
+
+    rng = np.random.default_rng(9)
+    n = 500
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"),
+                       "n_tok": rng.integers(10, 400, size=n)})
+    df.loc[7, "n_tok"] = 900  # oversize doc
+    m1 = pack_sequences(_ds(df), cap=512).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    m2 = pack_sequences(_ds(df), cap=512).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert m1.equals(m2)                          # deterministic
+    assert sorted(m1["doc_id"]) == list(range(n))  # every doc exactly once
+    per_seq = m1.groupby(["bucket", "seq"]).agg(
+        tok=("n_tok", "sum"), docs=("doc_id", "size"))
+    over = per_seq[per_seq["tok"] > 512]
+    assert (over["docs"] == 1).all()              # only oversize singletons
+    # next-fit can't leave two consecutive sequences both under half full
+    assert per_seq["tok"].mean() > 256
