@@ -161,3 +161,52 @@ def frame_sample(ds, every_n: int = 10, *, batch_size: int = 256,
         )
 
     return ds.map_batches(_sample, batch_format="pyarrow", batch_size=batch_size)
+
+
+# -- perceptual-hash image dedup -------------------------------------------
+
+def _ahash64(pixels: np.ndarray) -> np.uint64:
+    """Average hash over an 8x8 grid: REAL aHash math (grid-mean threshold,
+    64-bit pack); only the pixel source differs between fake/real decode."""
+    cells = np.array_split(pixels.astype(np.float64), 64)
+    means = np.array([c.mean() if len(c) else 0.0 for c in cells])
+    bits = (means > means.mean()).astype(np.uint64)
+    return np.uint64((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def phash_exact_dupes(media_ds, *, mode: str = "fake",
+                      batch_size: int = 256):
+    """Perceptual-hash image dedup: decode -> 64-bit aHash -> exact-match
+    groups (the image analogue of exact text dedup). Same bucket shape as
+    ``dedup.exact_dedup``: hashes route into 64 fixed groups, groups >= 2
+    collapse vectorized inside each bucket. Returns
+    (phash, n_items, canonical_id) per duplicate group.
+    """
+    import pandas as pd
+
+    class Hasher(MediaDecoder):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            payloads = batch["payload"].to_pylist()
+            types = batch["media_type"].to_pylist()
+            decode = (self._decode_fake if self.mode == "fake"
+                      else self._decode_real)
+            hs = np.array([_ahash64(decode(p, t) * 255.0)
+                           for p, t in zip(payloads, types)], dtype=np.uint64)
+            return pa.Table.from_pydict({
+                "media_id": batch["media_id"],
+                "phash": pa.array(hs.astype("int64")),
+                "bucket": pa.array((hs % np.uint64(64)).astype("int64")),
+            })
+
+    hashed = media_ds.map_batches(Hasher, fn_constructor_kwargs={"mode": mode},
+                                  batch_format="pyarrow",
+                                  batch_size=batch_size, concurrency=2)
+
+    def _groups(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("phash").agg(
+            n_items=("media_id", "size"),
+            canonical_id=("media_id", "min")).reset_index()
+        agg = agg[agg["n_items"] >= 2]
+        return agg.astype({"phash": "int64", "n_items": "int64"})
+
+    return hashed.groupby("bucket").map_groups(_groups, batch_format="pandas")

@@ -1483,3 +1483,72 @@ def packed_sequences(sf_dir: str):
 
 
 ROWS_ONLY_QUERIES["packed_sequences"] = packed_sequences
+
+
+def media_phash_dupes(sf_dir: str):
+    """Image near-dup groups via perceptual aHash over the decoded grid
+    (deterministic fake decode; the aHash + bucket-group machinery is the
+    real image-dedup pipeline)."""
+    from .multimodal import phash_exact_dupes, synthesize_media_dataset
+
+    media = synthesize_media_dataset(sf_dir)
+    return phash_exact_dupes(media)
+
+
+ROWS_ONLY_QUERIES["media_phash_dupes"] = media_phash_dupes
+
+
+def hll_source_overlap(sf_dir: str):
+    """HLL SET OPERATIONS: estimated vocabulary overlap between source
+    pairs by inclusion-exclusion over mergeable per-source HLLs (the
+    sketch-union capability the mergeable representation exists for).
+    Per-batch partial sketches ship as bytes; the driver folds
+    vertex-scale state only."""
+    from .sketches.hll import HyperLogLog
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows_src, rows_sk = [], []
+        for src, grp in b.groupby("source"):
+            words = np.unique(np.concatenate(
+                [t.split(" ") for t in grp["text"]]).astype(object))
+            h = HyperLogLog(p=14)
+            h.update(words)
+            rows_src.append(src)
+            rows_sk.append(h.to_bytes())
+        return pd.DataFrame({"source": rows_src,
+                             "sk": pd.Series(rows_sk, dtype=object)})
+
+    from .sketches.base import sketch_from_bytes
+
+    merged: dict = {}
+    for b in ds.map_batches(_partial, batch_format="pandas") \
+            .iter_batches(batch_format="pandas"):
+        for src, blob in zip(b["source"], b["sk"]):
+            h = sketch_from_bytes(blob)
+            if src in merged:
+                merged[src].merge(h)
+            else:
+                merged[src] = h
+
+    srcs = sorted(merged)[:3]
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b_ = srcs[i], srcs[j]
+            ea = merged[a].estimate()
+            eb = merged[b_].estimate()
+            u = sketch_from_bytes(merged[a].to_bytes())
+            u.merge(merged[b_])
+            eu = u.estimate()
+            rows.append({
+                "source_a": a, "source_b": b_,
+                "est_a": int(round(ea)), "est_b": int(round(eb)),
+                "est_union": int(round(eu)),
+                "est_overlap": int(round(ea + eb - eu)),
+            })
+    return pd.DataFrame(rows)
+
+
+ROWS_ONLY_QUERIES["hll_source_overlap"] = hll_source_overlap

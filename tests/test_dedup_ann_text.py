@@ -314,3 +314,44 @@ def test_kmeans_assign_deterministic_and_complete(ray_session):
     assert len(a1) == n                        # every vector assigned
     assert a1["cluster"].between(0, 7).all()
     assert a1["cluster"].nunique() > 1         # non-degenerate clustering
+
+
+def test_hll_source_overlap_within_bound(sf_small):
+    import duckdb
+
+    from sgp_sketch.queries import hll_source_overlap
+
+    est = hll_source_overlap(sf_small)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_small}/documents.parquet')")
+    for _, r in est.iterrows():
+        exact = con.execute(f"""
+            SELECT count(*) FROM (
+              SELECT DISTINCT w FROM (SELECT unnest(string_split(text,' ')) w
+                FROM documents WHERE source = '{r.source_a}')
+              INTERSECT
+              SELECT DISTINCT w FROM (SELECT unnest(string_split(text,' ')) w
+                FROM documents WHERE source = '{r.source_b}')
+            )""").fetchone()[0]
+        # overlap = A + B - union compounds three ~0.8% HLL errors; allow
+        # 5% of the union size as absolute slack
+        slack = max(0.05 * r.est_union, 50)
+        assert abs(r.est_overlap - exact) <= slack
+
+
+def test_phash_dupes_cover_exact_text_dupes(sf_small):
+    import duckdb
+
+    from sgp_sketch.queries import media_phash_dupes
+
+    groups = media_phash_dupes(sf_small).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_small}/documents.parquet')")
+    n_exact_dup_docs = con.execute(
+        "SELECT count(*) - count(DISTINCT text) FROM documents").fetchone()[0]
+    # byte-identical payloads hash identically, so phash groups must cover
+    # at least every exact text duplicate
+    assert groups["n_items"].sum() - len(groups) >= n_exact_dup_docs
+    assert (groups["n_items"] >= 2).all()
