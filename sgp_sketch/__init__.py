@@ -26,3 +26,11 @@ from .partition import (  # noqa: E402,F401
     assign_sources_salted,
     stable_hash_partition,
 )
+from .ops import asof_join, interval_join, pack_sequences  # noqa: E402,F401
+from .analytics import (  # noqa: E402,F401
+    bfs_layers,
+    connected_components,
+    pagerank,
+    sssp_distances,
+    two_hop_cross_partition,
+)
