@@ -114,6 +114,12 @@ def main(argv=None) -> int:
     ex.add_argument("config", help="JSON config path")
     ex.set_defaults(fn=cmd_experiment)
 
+    cu = sub.add_parser("curate", help="materialize the curated corpus")
+    cu.add_argument("input", help="testdata sf dir")
+    cu.add_argument("output", help="output dir (hive-partitioned parquet)")
+    cu.add_argument("--min-quality-e6", type=int, default=600_000)
+    cu.set_defaults(fn=cmd_curate)
+
     args = p.parse_args(argv)
     rc = args.fn(args)
     import ray
@@ -123,6 +129,49 @@ def main(argv=None) -> int:
     return rc
 
 
+
+
+def cmd_curate(args) -> int:
+    """Materialize the curated corpus (the end-to-end filter chain of the
+    ``corpus_curation`` query) as HIVE-PARTITIONED parquet — one directory
+    per source, so a failed run resumes by skipping finished partitions
+    and downstream readers prune partitions at the path level."""
+    _init_ray(args.num_cpus)
+    import hashlib
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from .queries import dedup_clusters
+    from .text import quality_features
+
+    clusters = dedup_clusters(args.input)
+    drop = np.sort(clusters.loc[
+        clusters["doc_id"] != clusters["canonical_id"], "doc_id"].to_numpy())
+    dref = ray.put(drop)
+    min_q6 = args.min_quality_e6
+
+    def _filt(b):
+        qf = quality_features(b[["doc_id", "text"]])
+        first = np.array([hashlib.md5(t.encode("utf-8")).hexdigest()[0]
+                          for t in b["text"]])
+        keep = ((qf["quality_e6"].to_numpy() >= min_q6)
+                & ~np.isin(first, ("0", "1"))
+                & ~np.isin(b["doc_id"].to_numpy(), ray.get(dref)))
+        return b.loc[keep]
+
+    ds = rd.read_parquet(f"{args.input}/documents.parquet")
+    ds.map_batches(_filt, batch_format="pandas") \
+        .write_parquet(args.output, partition_cols=["source"])
+
+    import pyarrow.dataset as pds
+
+    n = pds.dataset(args.output, format="parquet",
+                    partitioning="hive").count_rows()
+    print(json.dumps({"written_rows": int(n), "output": args.output,
+                      "min_quality_e6": min_q6}))
+    return 0
 
 
 def load_config(path: str) -> dict:

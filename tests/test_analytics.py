@@ -283,3 +283,34 @@ def test_pack_sequences_invariants():
     assert (over["docs"] == 1).all()              # only oversize singletons
     # next-fit can't leave two consecutive sequences both under half full
     assert per_seq["tok"].mean() > 256
+
+
+def test_curate_cli_writes_oracle_matched_partitions(sf_small, tmp_path):
+    """CLI curate in a SUBPROCESS (owns its own Ray session): hive layout
+    per source, total rows == the corpus_curation SQL oracle."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    out_dir = str(tmp_path / "curated")
+    r = subprocess.run(
+        [sys.executable, "-m", "sgp_sketch.cli", "--num-cpus", "4",
+         "curate", sf_small, out_dir],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env={**__import__("os").environ, "RAY_ADDRESS": ""})
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json as _json
+
+    info = _json.loads(r.stdout.strip().splitlines()[-1])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_small}/documents.parquet')")
+    from sgp_sketch.queries import CORPUS_CURATION_SQL
+
+    exp = con.execute(
+        f"SELECT sum(n_docs) FROM ({CORPUS_CURATION_SQL})").fetchone()[0]
+    assert info["written_rows"] == int(exp)
+    parts = [p for p in __import__("os").listdir(out_dir)
+             if p.startswith("source=")]
+    assert len(parts) > 1  # hive-partitioned by source
