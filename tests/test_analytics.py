@@ -314,3 +314,65 @@ def test_curate_cli_writes_oracle_matched_partitions(sf_small, tmp_path):
     parts = [p for p in __import__("os").listdir(out_dir)
              if p.startswith("source=")]
     assert len(parts) > 1  # hive-partitioned by source
+
+
+def test_asof_join_random_vs_pandas_reference():
+    from sgp_sketch.ops import asof_join
+
+    rng = np.random.default_rng(21)
+    nl, nr = 300, 120
+    left = pd.DataFrame({
+        "lid": np.arange(nl, dtype="int64"),
+        "u": rng.integers(0, 12, size=nl),
+        "t": pd.to_datetime(rng.integers(0, 10_000, size=nl), unit="s"),
+    })
+    right = pd.DataFrame({
+        "rid": np.arange(nr, dtype="int64"),
+        "cu": rng.integers(0, 12, size=nr),
+        "rt": pd.to_datetime(rng.integers(0, 10_000, size=nr), unit="s"),
+    })
+    got = asof_join(_ds(left), _ds(right), on="t", by="u",
+                    right_on="rt", right_by="cu", tiebreak="rid") \
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+
+    # brute-force reference: latest rt <= t per key, max rid on ties
+    rows = []
+    for _, l in left.iterrows():
+        cand = right[(right["cu"] == l["u"]) & (right["rt"] <= l["t"])]
+        if len(cand):
+            best = cand.sort_values(["rt", "rid"]).iloc[-1]
+            rows.append((l["lid"], best["rid"]))
+    ref = pd.DataFrame(rows, columns=["lid", "rid"]).astype("int64")
+    assert got[["lid", "rid"]].reset_index(drop=True).equals(
+        ref.sort_values("lid").reset_index(drop=True))
+
+
+def test_interval_join_random_vs_bruteforce():
+    from sgp_sketch.ops import interval_join
+
+    rng = np.random.default_rng(22)
+    nl, nr = 250, 60
+    left = pd.DataFrame({
+        "lid": np.arange(nl, dtype="int64"),
+        "k": rng.integers(0, 8, size=nl),
+        "t": pd.to_datetime(rng.integers(0, 5_000, size=nl), unit="us"),
+    })
+    starts = rng.integers(0, 4_800, size=nr)
+    widths = rng.integers(1, 700, size=nr)  # some spanning several cells
+    right = pd.DataFrame({
+        "rid": np.arange(nr, dtype="int64"),
+        "rk": rng.integers(0, 8, size=nr),
+        "s": pd.to_datetime(starts, unit="us"),
+        "e": pd.to_datetime(starts + widths, unit="us"),
+    })
+    got = interval_join(_ds(left), _ds(right), key="k", left_t="t",
+                        right_key="rk", right_start="s", right_end="e",
+                        grid_us=500).to_pandas()
+    got_pairs = set(zip(got["lid"], got["rid"]))
+    ref_pairs = set()
+    for _, l in left.iterrows():
+        m = right[(right["rk"] == l["k"]) & (right["s"] <= l["t"])
+                  & (l["t"] < right["e"])]
+        ref_pairs.update((l["lid"], r) for r in m["rid"])
+    assert got_pairs == ref_pairs
+    assert len(got) == len(got_pairs)  # no duplicate emissions
