@@ -680,3 +680,89 @@ def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
     unioned = pair_rows.union(sig_rows)
     return unioned.groupby("vbucket").map_groups(verify_group,
                                                  batch_format="pandas")
+
+
+# -------------------------------------------------------- winnowing pairs
+
+
+def winnow_dup_pairs(ds, *, k: int = 5, w: int = 4, min_shared: int = 2,
+                     max_df: int = 200, doc_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Char-level near-dup pairs via shared WINNOWING fingerprints
+    (Schleimer et al. 2003 — the plagiarism-detection modality, robust to
+    word reordering where word-shingle MinHash is not).
+
+    Shape: (fp, doc) rows route by fp into 64 fixed buckets; each bucket
+    segments its fingerprints vectorized and expands all-pairs per
+    fingerprint, SKIPPING fingerprints shared by more than ``max_df`` docs
+    (an idf cut: a fingerprint in everyone's text carries no dedup signal
+    — logged, principled, and what keeps the expansion bounded at scale);
+    per-pair share counts fold through a second 64-bucket shuffle and
+    pairs with >= ``min_shared`` shared fingerprints survive. Returns
+    (doc_a, doc_b, n_shared).
+    """
+    from .text import winnow_fingerprints
+
+    def _fps(b: pd.DataFrame) -> pd.DataFrame:
+        fs, dd = [], []
+        for did, txt in zip(b[doc_col], b[text_col]):
+            fps = winnow_fingerprints(txt, k=k, w=w)
+            fs.extend(fps)
+            dd.extend([did] * len(fps))
+        fp = np.array(fs, dtype=np.uint64).astype(np.int64)
+        out = pd.DataFrame({"fp": fp,
+                            "doc": pd.Series(dd, dtype="int64")})
+        out["bucket"] = (out["fp"] % _DEDUP_BUCKETS).astype("int64")
+        return out
+
+    routed = ds.select_columns([doc_col, text_col]).map_batches(
+        _fps, batch_format="pandas")
+
+    def _fp_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g2 = g.sort_values(["fp", "doc"])
+        fp = g2["fp"].to_numpy()
+        doc = g2["doc"].to_numpy()
+        new = np.ones(len(g2), dtype=bool)
+        new[1:] = fp[1:] != fp[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(g2))
+        pa_, pb_ = [], []
+        skipped = 0
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m > max_df:
+                skipped += 1
+                continue
+            a1, b1 = _all_pairs_sorted(np.unique(doc[s:e]))
+            pa_.append(a1)
+            pb_.append(b1)
+        if skipped:
+            print(f"[winnow] idf-cut dropped {skipped} fingerprints with "
+                  f"df > {max_df}", file=sys.stderr)
+        if not pa_:
+            return pd.DataFrame({"pair": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64"),
+                                 "pbucket": pd.Series([], dtype="int64")})
+        pair = (np.concatenate(pa_) * (1 << 31) + np.concatenate(pb_))
+        up, cnt = np.unique(pair, return_counts=True)  # in-bucket combiner
+        return pd.DataFrame({"pair": up.astype("int64"),
+                             "cnt": cnt.astype("int64"),
+                             "pbucket": (up % _DEDUP_BUCKETS).astype("int64")})
+
+    partial = routed.groupby("bucket").map_groups(_fp_pairs,
+                                                  batch_format="pandas")
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("pair")["cnt"].sum()
+        agg = agg[agg >= min_shared]
+        pair = agg.index.to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_a": (pair // (1 << 31)).astype("int64"),
+            "doc_b": (pair % (1 << 31)).astype("int64"),
+            "n_shared": agg.to_numpy(dtype=np.int64),
+        })
+
+    return partial.groupby("pbucket").map_groups(_fold,
+                                                 batch_format="pandas")

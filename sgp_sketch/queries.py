@@ -1552,3 +1552,16 @@ def hll_source_overlap(sf_dir: str):
 
 
 ROWS_ONLY_QUERIES["hll_source_overlap"] = hll_source_overlap
+
+
+def winnow_dup_pairs_q(sf_dir: str):
+    """Char-level near-dup pairs by shared winnowing fingerprints (>= 32
+    shared windows — measured to separate true near-dups from template
+    noise on this corpus; idf cut on ubiquitous fingerprints)."""
+    from .dedup import winnow_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_dup_pairs(ds, min_shared=32)
+
+
+ROWS_ONLY_QUERIES["winnow_dup_pairs"] = winnow_dup_pairs_q

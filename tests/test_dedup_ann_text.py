@@ -355,3 +355,24 @@ def test_phash_dupes_cover_exact_text_dupes(sf_small):
     # at least every exact text duplicate
     assert groups["n_items"].sum() - len(groups) >= n_exact_dup_docs
     assert (groups["n_items"] >= 2).all()
+
+
+def test_winnow_dup_pairs_finds_clones():
+    import ray.data as rd
+
+    from sgp_sketch.dedup import winnow_dup_pairs
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, size=60)) for _ in range(30)]
+    texts.append(texts[0])          # doc 30 = clone of doc 0
+    texts.append(texts[5] + " tail")  # doc 31 = near-clone of doc 5
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+    out = winnow_dup_pairs(rd.from_pandas(df), min_shared=8).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 30) in pairs
+    assert (5, 31) in pairs
+    # the clone pair shares the most fingerprints of any pair
+    top = out.sort_values("n_shared").iloc[-1]
+    assert {top["doc_a"], top["doc_b"]} in ({0, 30}, {5, 31})
