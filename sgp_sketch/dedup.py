@@ -1,10 +1,12 @@
 """Deduplication operators over the documents table.
 
 - exact: content-hash groupby, keep min doc_id per group;
-- MinHash + LSH: per-batch vectorized signatures -> banded bucket groupby
-  -> candidate pairs -> exact-Jaccard verification;
+- MinHash + LSH: per-batch vectorized signatures -> banded buckets ->
+  star edges + connected components -> TILED all-pairs expansion with a
+  signature-estimate prefilter -> exact-Jaccard verification;
 - SimHash: 64-bit signatures + Hamming-ball candidate pairs;
 - unigram-Jaccard exact pairs (the oracle-checkable counterpart);
+- winnowing fingerprints: char-level shared-window pairs with an idf cut;
 - embedding-cosine near-dup (see ann.py for the kernel).
 
 Scale posture: signatures/buckets are the only shuffled payloads; pair
