@@ -173,6 +173,11 @@ def bidirectional_bfs_distance(edges, src: str, dst: str, *,
 # Iterative workloads (reference analytics sweep: pagerank / sssp / CC)
 # ---------------------------------------------------------------------------
 
+# block count for pinned iterative edge sets: enough for parallel scan,
+# few enough that per-round scheduling overhead stays flat
+_ITER_BLOCKS = 16
+
+
 def _collect_vertices(edges, cols=("src", "dst")) -> np.ndarray:
     """Sorted unique vertex array from an edge Dataset — ONE streamed pass,
     per-batch ``np.unique`` partials, vertex-scale driver fold."""
@@ -203,7 +208,9 @@ def pagerank(edges, *, iterations: int = 20, damping: float = 0.85
     """
     import ray
 
-    edges = edges.materialize()  # iterative consumer: pin blocks, read 20x
+    # iterative consumer: coalesce to a few blocks (each round pays
+    # per-block task overhead) and pin in the object store, read 20x
+    edges = edges.repartition(_ITER_BLOCKS).materialize()
     ids = _collect_vertices(edges)
     n = len(ids)
     if n == 0:
@@ -261,7 +268,7 @@ def sssp_distances(edges, source, *, weight_col: str | None = None,
     """
     import ray
 
-    edges = edges.materialize()
+    edges = edges.repartition(_ITER_BLOCKS).materialize()
     ids = _collect_vertices(edges)
     n = len(ids)
     out_empty = pd.DataFrame({"vertex": pd.Series([], dtype=object),
@@ -321,7 +328,7 @@ def connected_components(edges, *, max_rounds: int = 64) -> pd.DataFrame:
     """
     import ray
 
-    edges = edges.materialize()
+    edges = edges.repartition(_ITER_BLOCKS).materialize()
     ids = _collect_vertices(edges)
     n = len(ids)
     if n == 0:
