@@ -1565,3 +1565,73 @@ def winnow_dup_pairs_q(sf_dir: str):
 
 
 ROWS_ONLY_QUERIES["winnow_dup_pairs"] = winnow_dup_pairs_q
+
+
+def triangle_count(sf_dir: str):
+    """TRIANGLE COUNT over the derived user co-occurrence graph (users
+    sharing an (event_type, day) slot, capped stream) — the standard
+    distributed two-join shape: wedge generation (edges join edges on the
+    middle vertex) then closing-edge membership (join on the outer pair).
+    Edges are oriented a<b so every triangle closes exactly one a<b<c
+    wedge — no multiple counting, and orientation bounds wedge fan-out
+    the way degree-orientation does at scale."""
+    from .dedup import dedup_pairs
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def _uk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["event_id"], pa.scalar(_TWO_HOP_EDGE_CAP)))
+        day = pc.strftime(
+            pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("s")),
+            format="%Y-%m-%d")
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        k = pc.binary_join_element_wise(et, day, "|")
+        out = pa.Table.from_arrays(
+            [pc.cast(t["user_id"], pa.int64()), k], names=["u", "k"])
+        return out.group_by(["u", "k"]).aggregate([])  # in-batch distinct
+
+    uk = ds.map_batches(_uk, batch_format="pyarrow")
+    uk2 = uk.map_batches(
+        lambda b: b.rename(columns={"u": "v", "k": "k2"}),
+        batch_format="pandas")
+    co = uk.join(uk2, join_type="inner", num_partitions=8,
+                 on=("k",), right_on=("k2",))
+
+    def _orient(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["u"] < b["v"]
+        return pd.DataFrame({"doc_a": b.loc[m, "u"].astype("int64"),
+                             "doc_b": b.loc[m, "v"].astype("int64")})
+
+    edges = dedup_pairs(co.map_batches(_orient, batch_format="pandas"))
+    e_ab = edges.map_batches(
+        lambda b: b.rename(columns={"doc_a": "a", "doc_b": "b"}),
+        batch_format="pandas")
+    e_bc = edges.map_batches(
+        lambda b: b.rename(columns={"doc_a": "wb", "doc_b": "c"}),
+        batch_format="pandas")
+    e_ac = edges.map_batches(
+        lambda b: b.rename(columns={"doc_a": "ca", "doc_b": "cc"}),
+        batch_format="pandas")
+    wedges = e_ab.join(e_bc, join_type="inner", num_partitions=8,
+                       on=("b",), right_on=("wb",))
+    closed = wedges.join(e_ac, join_type="inner", num_partitions=8,
+                         on=("a", "c"), right_on=("ca", "cc"))
+    return pd.DataFrame({"n_triangles": [int(closed.count())]})
+
+
+TRIANGLE_SQL = f"""
+WITH ue AS (
+  SELECT DISTINCT user_id AS u,
+         event_type || chr(124)
+           || strftime(date_trunc('day', ts), '%Y-%m-%d') AS k
+  FROM events WHERE event_id < {_TWO_HOP_EDGE_CAP}),
+e AS (SELECT DISTINCT a.u AS ua, b.u AS ub
+      FROM ue a JOIN ue b ON a.k = b.k AND a.u < b.u)
+SELECT count(*) AS n_triangles
+FROM e e1 JOIN e e2 ON e1.ub = e2.ua
+JOIN e e3 ON e1.ua = e3.ua AND e2.ub = e3.ub
+"""
+
+EXACT_QUERIES["triangle_count"] = (triangle_count, TRIANGLE_SQL)
