@@ -1635,3 +1635,49 @@ JOIN e e3 ON e1.ua = e3.ua AND e2.ub = e3.ub
 """
 
 EXACT_QUERIES["triangle_count"] = (triangle_count, TRIANGLE_SQL)
+
+
+_PS_QS = (0.25, 0.5, 0.75)
+
+
+def ntok_quantiles_per_source(sf_dir: str):
+    """GROUPED exact quantiles: per-source word-count quartiles via a
+    distributed (source, n_words) value-count histogram (in-batch partial
+    counts collapse the shuffle; the histogram — not the rows — reaches
+    the driver), 'lower' interpolation to match quantile_disc."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        nw = pc.cast(pc.list_value_length(pc.split_pattern(text, " ")),
+                     pa.int64())
+        tmp = pa.Table.from_arrays([t["source"], nw], names=["source", "nw"])
+        g = tmp.group_by(["source", "nw"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "nw", "cnt"])
+
+    hist = ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(["source", "nw"]).sum("cnt").to_pandas()
+
+    rows = []
+    for src, g in hist.groupby("source"):
+        g = g.sort_values("nw")
+        values = g["nw"].to_numpy()
+        cum = np.cumsum(g["sum(cnt)"].to_numpy())
+        n = int(cum[-1])
+        for q in _PS_QS:
+            idx = int(np.floor(q * (n - 1)))
+            rows.append({"source": src, "q": q,
+                         "value": int(values[np.searchsorted(cum, idx + 1)])})
+    return pd.DataFrame(rows)
+
+
+NTOK_PER_SOURCE_SQL = " UNION ALL ".join(
+    f"""SELECT source, {q} AS q,
+        quantile_disc(len(string_split(text, ' ')), {q}) AS value
+        FROM documents GROUP BY source"""
+    for q in _PS_QS)
+
+EXACT_QUERIES["ntok_quantiles_per_source"] = (ntok_quantiles_per_source,
+                                              NTOK_PER_SOURCE_SQL)
