@@ -254,11 +254,12 @@ def interval_join(left, right, *, key: str, left_t: str, right_key: str,
     """
 
     def _left_cells(t: pa.Table) -> pa.Table:
-        ts = t[left_t]
-        if isinstance(ts, pa.ChunkedArray):
-            ts = ts.combine_chunks()
-        cell = pc.divide(pc.cast(ts, pa.int64()), grid_us)
-        return t.append_column("__cell", pc.cast(cell, pa.int64()))
+        # FLOOR division via numpy: Arrow's divide truncates toward zero,
+        # which would put negative (pre-1970) timestamps in a different
+        # cell than the right side's floor and silently miss matches
+        ts = t[left_t].to_pandas().astype("int64").to_numpy()
+        cell = ts // grid_us
+        return t.append_column("__cell", pa.array(cell.astype("int64")))
 
     def _right_cells(t: pa.Table) -> pa.Table:
         lo = t[right_start].to_pandas().astype("int64").to_numpy()

@@ -376,3 +376,24 @@ def test_interval_join_random_vs_bruteforce():
         ref_pairs.update((l["lid"], r) for r in m["rid"])
     assert got_pairs == ref_pairs
     assert len(got) == len(got_pairs)  # no duplicate emissions
+
+
+def test_interval_join_pre_epoch_timestamps():
+    from sgp_sketch.ops import interval_join
+
+    # negative epoch-us: floor vs truncate cell mismatch would miss these
+    left = pd.DataFrame({
+        "k": [1, 1],
+        "t": pd.to_datetime([-25, 5], unit="us"),
+        "lv": [0, 1],
+    })
+    right = pd.DataFrame({
+        "rk": [1],
+        "s": pd.to_datetime([-30], unit="us"),
+        "e": pd.to_datetime([10], unit="us"),
+        "rv": [9],
+    })
+    out = interval_join(_ds(left), _ds(right), key="k", left_t="t",
+                        right_key="rk", right_start="s", right_end="e",
+                        grid_us=10).to_pandas()
+    assert sorted(out["lv"]) == [0, 1]
