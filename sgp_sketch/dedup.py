@@ -125,9 +125,18 @@ def dedup_pairs(cand, extra_col: str | None = None):
             return pd.DataFrame({"pair": pd.Series([], dtype="int64"),
                                  "extra": pd.Series([], dtype="int64"),
                                  "bucket": pd.Series([], dtype="int64")})
+        da = batch["doc_a"].astype("int64")
+        db = batch["doc_b"].astype("int64")
+        # 31-bit id contract: numpy int64 WRAPS silently on overflow, so a
+        # doc id >= 2^31 would corrupt pairs instead of erroring
+        if int(da.max()) >= (1 << 31) or int(db.max()) >= (1 << 31) \
+                or int(da.min()) < 0 or int(db.min()) < 0:
+            raise ValueError(
+                "dedup_pairs packs (doc_a, doc_b) into one int64 and "
+                "requires 0 <= id < 2**31; remap ids densely first "
+                "(sources.assign_dense_ids)")
         out = pd.DataFrame({
-            "pair": batch["doc_a"].astype("int64") * (1 << 31)
-            + batch["doc_b"].astype("int64"),
+            "pair": da * (1 << 31) + db,
         })
         out["extra"] = batch[extra_col].astype("int64") if extra_col else 0
         out["bucket"] = out["pair"] % _DEDUP_BUCKETS
@@ -714,6 +723,10 @@ def winnow_dup_pairs(ds, *, k: int = 5, w: int = 4, min_shared: int = 2,
         fp = np.array(fs, dtype=np.uint64).astype(np.int64)
         out = pd.DataFrame({"fp": fp,
                             "doc": pd.Series(dd, dtype="int64")})
+        if len(out) and (int(out["doc"].max()) >= (1 << 31)
+                         or int(out["doc"].min()) < 0):
+            raise ValueError("winnow_dup_pairs packs pairs into one int64 "
+                             "and requires 0 <= doc_id < 2**31")
         out["bucket"] = (out["fp"] % _DEDUP_BUCKETS).astype("int64")
         return out
 
