@@ -1064,8 +1064,22 @@ def bfs_event_graph(sf_dir: str):
     return bfs_layers(edges, "u0", max_depth=6)
 
 
+BFS_EVENT_SQL = f"""
+WITH RECURSIVE
+eb AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+              event_type AS dst
+       FROM events WHERE event_id < {_TWO_HOP_EDGE_CAP}),
+e AS (SELECT src, dst FROM eb UNION SELECT dst AS src, src AS dst FROM eb),
+r(v, dist) AS (
+  SELECT 'u0', 0
+  UNION
+  SELECT e.dst, r.dist + 1 FROM r JOIN e ON r.v = e.src WHERE r.dist < 6
+)
+SELECT v AS vertex, CAST(min(dist) AS BIGINT) AS dist FROM r GROUP BY v
+"""
+
 ROWS_ONLY_QUERIES["two_hop_partition_quality"] = two_hop_partition_quality
-ROWS_ONLY_QUERIES["bfs_event_graph"] = bfs_event_graph
+EXACT_QUERIES["bfs_event_graph"] = (bfs_event_graph, BFS_EVENT_SQL)
 
 
 _SESSION_BUCKETS = 64
