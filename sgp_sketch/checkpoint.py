@@ -185,3 +185,167 @@ def run_checkpointed(
         {int(r["partition_id"]) for r in fresh_rows}
     )
     return SketchResult(sketches, counts, metrics)
+
+
+def append_increment(
+    inc_ds,
+    ckpt_dir: str,
+    specs: list[SketchSpec] | None = None,
+    *,
+    batch_size: int = 8192,
+    input_files: list[str] | None = None,
+) -> SketchResult:
+    """INCREMENTAL sketch maintenance: fold a new data increment into an
+    existing checkpointed build without touching the base data.
+
+    The streaming analogue the reference's one-shot loader lacks: because
+    every sketch merge is associative+commutative, yesterday's checkpoints
+    absorb today's partials —
+
+    - the stored plan is REUSED verbatim; sources unseen at plan time are
+      assigned greedily to the least-loaded partitions and the extended
+      plan is persisted atomically (assignment never drifts between
+      increments);
+    - the updater streams the INCREMENT only; its per-partition merged
+      partials fold into each ``part=<pid>/sketches.parquet`` (one
+      deserialize-merge-serialize per (scope, kind), atomic replace);
+    - counts and HLL/CMS/Bloom states end exactly as a from-scratch build
+      over base+increment (elementwise max / add / or are order-free);
+      KLL/t-digest stay within their rank-error bounds (their compaction
+      is order-sensitive by design).
+    """
+    import ray
+
+    specs = specs if specs is not None else DEFAULT_SPECS
+    t0 = time.perf_counter()
+
+    path = _plan_path(ckpt_dir)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{ckpt_dir} has no plan.json — run run_checkpointed first")
+    with open(path) as f:
+        stored = json.load(f)
+    k = int(stored["k"])
+    amap = {s: np.asarray(p, dtype=np.int32) for s, p in stored["amap"].items()}
+    loads = np.asarray(stored["partition_loads"], dtype=np.int64)
+    source_loads = {s: int(v) for s, v in stored["source_loads"].items()}
+
+    # increment per-source loads (combiner pass, driver fold — tiny)
+    def partial_loads(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n_tok", "sum")])
+        return g.rename_columns(["source", "load"])
+
+    inc_loads: dict = {}
+    for bt in inc_ds.select_columns(["source", "n_tok"]) \
+            .map_batches(partial_loads, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for s, l in zip(bt["source"].to_pylist(), bt["load"].to_pylist()):
+            inc_loads[s] = inc_loads.get(s, 0) + int(l)
+
+    # extend the plan: new sources -> least-loaded partition (greedy,
+    # heaviest first — the LDG-style balance rule without re-salting)
+    new_sources = sorted((s for s in inc_loads if s not in amap),
+                         key=lambda s: (-inc_loads[s], s))
+    for s in new_sources:
+        pid = int(np.argmin(loads))
+        amap[s] = np.asarray([pid], dtype=np.int32)
+        loads[pid] += inc_loads[s]
+        source_loads[s] = inc_loads[s]
+    new_set = set(new_sources)
+    for s, l in inc_loads.items():
+        if s in new_set:
+            continue
+        # existing sources keep their stored map; load accounting goes to
+        # the first assigned pid (salted sources split inside the updater)
+        loads[int(amap[s][0])] += l
+        source_loads[s] = source_loads.get(s, 0) + l
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"k": k,
+                   "amap": {s: [int(x) for x in p] for s, p in amap.items()},
+                   "partition_loads": [int(x) for x in loads],
+                   "source_loads": source_loads}, f)
+    os.replace(tmp, path)
+
+    # updater over the increment only
+    from .pipeline import make_updater_fn
+
+    amap_ref = ray.put(amap)
+    partials = inc_ds.map_batches(
+        make_updater_fn(specs, k, amap_ref, frozenset()),
+        batch_format="pyarrow", batch_size=batch_size)
+    fresh = partials.groupby("partition_id").map_groups(
+        merge_partial_group, batch_format="pyarrow").take_all()
+
+    manifest = _load_manifest(ckpt_dir)
+    by_pid: dict[int, list[dict]] = {}
+    for row in fresh:
+        by_pid.setdefault(int(row["partition_id"]), []).append(row)
+
+    for pid, rows in sorted(by_pid.items()):
+        pdir = _part_dir(ckpt_dir, pid)
+        base_path = os.path.join(pdir, "sketches.parquet")
+        acc: dict[tuple, list] = {}
+        if os.path.exists(base_path):
+            for row in pq.read_table(base_path).to_pylist():
+                acc[(row["scope"], row["kind"])] = [
+                    sketch_from_bytes(row["payload"]),
+                    row["n_rows"], row["n_tokens"]]
+        for row in rows:
+            key = (row["scope"], row["kind"])
+            sk = sketch_from_bytes(row["payload"])
+            slot = acc.get(key)
+            if slot is None:
+                acc[key] = [sk, row["n_rows"], row["n_tokens"]]
+            else:
+                slot[0] = slot[0].merge(sk)
+                slot[1] += row["n_rows"]
+                slot[2] += row["n_tokens"]
+        merged_rows = [
+            {"scope": sc, "kind": kd, "partition_id": pid,
+             "payload": v[0].to_bytes(), "n_rows": v[1], "n_tokens": v[2]}
+            for (sc, kd), v in sorted(acc.items())]
+        os.makedirs(pdir, exist_ok=True)
+        table = pa.Table.from_pylist(merged_rows, schema=PARTIAL_SCHEMA)
+        wtmp = os.path.join(pdir, ".sketches.parquet.tmp")
+        pq.write_table(table, wtmp)
+        os.replace(wtmp, base_path)
+        ent = manifest["partitions"].get(str(pid), {
+            "n_rows": 0, "n_tokens": 0, "n_scopes": 0, "input_files": []})
+        ent["n_rows"] += int(sum(r["n_rows"] for r in rows
+                                 if r["scope"] == SCOPE_GLOBAL))
+        ent["n_tokens"] += int(sum(r["n_tokens"] for r in rows
+                                   if r["scope"] == SCOPE_GLOBAL))
+        ent["n_scopes"] = len(acc)
+        ent.setdefault("increments", []).append({
+            "input_files": input_files or [],
+            "appended_at_sec": round(time.perf_counter() - t0, 3)})
+        manifest["partitions"][str(pid)] = ent
+        _store_manifest(ckpt_dir, manifest)
+
+    # final merge over ALL checkpointed partitions
+    acc2: dict[tuple, list] = {}
+    for pid_str in manifest["partitions"]:
+        ppath = os.path.join(_part_dir(ckpt_dir, int(pid_str)),
+                             "sketches.parquet")
+        if not os.path.exists(ppath):
+            continue
+        for row in pq.read_table(ppath).to_pylist():
+            key = (row["scope"], row["kind"])
+            sk = sketch_from_bytes(row["payload"])
+            slot = acc2.get(key)
+            if slot is None:
+                acc2[key] = [sk, row["n_rows"], row["n_tokens"]]
+            else:
+                slot[0] = slot[0].merge(sk)
+                slot[1] += row["n_rows"]
+                slot[2] += row["n_tokens"]
+    sketches = {key: v[0] for key, v in acc2.items()}
+    counts = {key: (v[1], v[2]) for key, v in acc2.items()}
+    metrics = {"k": k, "incremented_partitions": sorted(by_pid),
+               "new_sources": len(new_sources),
+               "total_sec": time.perf_counter() - t0}
+    gkey = (SCOPE_GLOBAL, specs[0].kind)
+    if gkey in counts:
+        metrics["n_rows"], metrics["n_tokens"] = counts[gkey]
+    return SketchResult(sketches, counts, metrics)

@@ -46,7 +46,13 @@ def cmd_build(args) -> int:
     else:
         ds = rd.read_parquet(args.input)
 
-    if args.checkpoint_dir:
+    if args.checkpoint_dir and getattr(args, "append", False):
+        from .checkpoint import append_increment
+
+        res = append_increment(ds, args.checkpoint_dir,
+                               batch_size=args.batch_size,
+                               input_files=[args.input])
+    elif args.checkpoint_dir:
         from .checkpoint import run_checkpointed
 
         res = run_checkpointed(ds, args.checkpoint_dir, k=args.k,
@@ -100,6 +106,9 @@ def main(argv=None) -> int:
     b.add_argument("--checkpoint-dir", default=None)
     b.add_argument("--no-plan", action="store_true",
                    help="hash partitioning instead of the greedy plan")
+    b.add_argument("--append", action="store_true",
+                   help="fold this input into an EXISTING checkpoint dir "
+                        "(incremental sketch maintenance)")
     b.add_argument("--output", default=None, help="estimates JSONL path")
     b.add_argument("--metrics", default=None, help="metrics JSON path")
     b.set_defaults(fn=cmd_build)

@@ -136,3 +136,89 @@ class TestRealKillResume:
                               clean.get("hll").registers)
         assert resumed.counts == clean.counts
         assert resumed.metrics["n_rows"] == 500
+
+
+class TestIncrement:
+    def _halves(self, sf_small):
+        import pyarrow.compute as pc
+
+        from sgp_sketch.schema import documents_path, tokenize_documents_batch
+        import ray.data as rd
+
+        def part(lo: bool):
+            ds = rd.read_parquet(documents_path(sf_small),
+                                 columns=["doc_id", "text", "source"])
+
+            def f(t):
+                import numpy as np
+                import pyarrow as pa
+
+                ids = t["doc_id"].to_pandas().to_numpy().astype("int64")
+                m = (ids % 2 == 0) if lo else (ids % 2 == 1)
+                return t.filter(pa.array(m))
+
+            return ds.map_batches(f, batch_format="pyarrow") \
+                .map_batches(tokenize_documents_batch, batch_format="pyarrow")
+
+        return part(True), part(False)
+
+    def test_append_increment_matches_full_build(self, sf_small, tmp_path):
+        from sgp_sketch.checkpoint import append_increment, run_checkpointed
+        from sgp_sketch.pipeline import build_sketches
+        from sgp_sketch.schema import tokens_dataset
+
+        base, inc = self._halves(sf_small)
+        ckpt = str(tmp_path / "inc_ckpt")
+        run_checkpointed(base, ckpt, k=4, batch_size=100)
+        res = append_increment(inc, ckpt, batch_size=100)
+        full = build_sketches(tokens_dataset(sf_small), k=4, batch_size=100)
+
+        # counts exact
+        assert res.metrics["n_rows"] == full.metrics["n_rows"]
+        assert res.metrics["n_tokens"] == full.metrics["n_tokens"]
+        # order-free sketches end in EXACTLY the full-build state
+        assert res.get("hll").estimate() == full.get("hll").estimate()
+        # bloom byte layout depends on when sparse->dense switched (merge
+        # tree shape), but the BIT SET must be identical — densify both
+        bi, bf = res.get("bloom"), full.get("bloom")
+        bi._densify()
+        bf._densify()
+        assert np.array_equal(bi.words, bf.words)
+        cms_i, cms_f = res.get("cms"), full.get("cms")
+        hh = cms_f.heavy_hitters(10)
+        toks = np.array([t for t, _ in hh], dtype=np.int64)
+        assert np.array_equal(cms_i.estimate_counts(toks),
+                              np.array([c for _, c in hh], dtype=np.int64))
+        # order-sensitive sketches stay within their rank bounds
+        qi = res.get("kll").quantile(0.5)
+        qf = full.get("kll").quantile(0.5)
+        assert abs(qi - qf) <= max(2.0, 0.1 * max(abs(qf), 1))
+
+    def test_increment_with_new_source_extends_plan(self, sf_small, tmp_path):
+        import json as _json
+
+        import pandas as pd
+        import ray.data as rd
+
+        from sgp_sketch.checkpoint import append_increment, run_checkpointed
+        from sgp_sketch.schema import tokens_dataset
+
+        ckpt = str(tmp_path / "ns_ckpt")
+        run_checkpointed(tokens_dataset(sf_small), ckpt, k=4, batch_size=100)
+        with open(f"{ckpt}/plan.json") as f:
+            before = _json.load(f)
+        inc = rd.from_pandas(pd.DataFrame({
+            "doc_id": ["brand_new_1", "brand_new_2"],
+            "tokens": [[1, 2, 3], [4, 5, 6, 7]],
+            "n_tok": [3, 4],
+            "source": ["brand_new_source", "brand_new_source"],
+        }))
+        res = append_increment(inc, ckpt)
+        with open(f"{ckpt}/plan.json") as f:
+            after = _json.load(f)
+        assert "brand_new_source" in after["amap"]
+        assert "brand_new_source" not in before["amap"]
+        assert res.metrics["new_sources"] == 1
+        # planned loads are token counts: final total = base plan + 7 new
+        assert res.metrics["n_tokens"] == sum(before["partition_loads"]) + 7
+        assert sum(after["partition_loads"]) == sum(before["partition_loads"]) + 7
