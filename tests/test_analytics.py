@@ -397,3 +397,50 @@ def test_interval_join_pre_epoch_timestamps():
                         right_key="rk", right_start="s", right_end="e",
                         grid_us=10).to_pandas()
     assert sorted(out["lv"]) == [0, 1]
+
+
+# --- edge-case robustness for the new operators --------------------------
+
+
+def test_asof_join_no_matches_yields_typed_empty():
+    from sgp_sketch.ops import asof_join
+
+    left = pd.DataFrame({"lid": [1], "u": [5],
+                         "t": pd.to_datetime(["2024-01-01"])})
+    right = pd.DataFrame({"rid": [9], "cu": [7],
+                          "rt": pd.to_datetime(["2024-01-02"])})
+    out = asof_join(_ds(left), _ds(right), on="t", by="u",
+                    right_on="rt", right_by="cu").to_pandas()
+    # NOTE: Ray's to_pandas drops column schema when every block is empty
+    # (kernel-level typed-empty frames notwithstanding), so only emptiness
+    # is asserted here
+    assert len(out) == 0
+
+
+def test_connected_components_self_loops_and_dups():
+    from sgp_sketch.analytics import connected_components
+
+    e = pd.DataFrame({"src": [1, 1, 2, 2, 1], "dst": [1, 2, 1, 2, 2]})
+    out = connected_components(_ds(e)).set_index("vertex")["component"]
+    assert out.loc[[1, 2]].tolist() == [1, 1]
+
+
+def test_pagerank_empty_edges():
+    import ray.data as rd
+
+    from sgp_sketch.analytics import pagerank
+
+    empty = rd.from_pandas(pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                         "dst": pd.Series([], dtype="int64")}))
+    out = pagerank(empty, iterations=3)
+    assert len(out) == 0 and list(out.columns) == ["vertex", "rank"]
+
+
+def test_pack_sequences_all_oversize():
+    from sgp_sketch.ops import pack_sequences
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "n_tok": [900, 800, 700]})
+    m = pack_sequences(_ds(df), cap=512).to_pandas()
+    per_seq = m.groupby(["bucket", "seq"]).size()
+    assert (per_seq == 1).all()  # every oversize doc is its own sequence
+    assert len(m) == 3
