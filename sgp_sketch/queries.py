@@ -1695,3 +1695,57 @@ NTOK_PER_SOURCE_SQL = " UNION ALL ".join(
 
 EXACT_QUERIES["ntok_quantiles_per_source"] = (ntok_quantiles_per_source,
                                               NTOK_PER_SOURCE_SQL)
+
+
+def customers_without_orders(sf_dir: str):
+    """ANTI-JOIN: customers with no URGENT order, counted per nation — the
+    shuffle shape that scales (distinct order keys via in-batch combiner +
+    one keyed dedup, LEFT OUTER hash join, null-probe marker filter); no
+    broadcast of the big side."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        pr = t["o_orderpriority"]
+        if isinstance(pr, pa.ChunkedArray):
+            pr = pr.combine_chunks()
+        t = t.filter(pc.equal(pr, "1-URGENT")).select(["o_custkey"])
+        return t.group_by(["o_custkey"]).aggregate([])
+
+    def _mark(b: pd.DataFrame) -> pd.DataFrame:
+        # Ray's join COALESCES the right key column away, so null-probe
+        # detection needs a non-key marker column
+        return pd.DataFrame({"o_custkey": b["o_custkey"],
+                             "__hit": np.ones(len(b), dtype="int64")})
+
+    okeys = orders.map_batches(_dedup, batch_format="pyarrow") \
+        .groupby("o_custkey").count() \
+        .map_batches(_mark, batch_format="pandas")
+
+    joined = cust.join(okeys, join_type="left_outer", num_partitions=8,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def _anti(b: pd.DataFrame) -> pd.DataFrame:
+        miss = b[b["__hit"].isna()] if "__hit" in b.columns else b
+        return miss.groupby("c_nationkey").size().rename("n_customers") \
+            .reset_index()
+
+    out = joined.map_batches(_anti, batch_format="pandas") \
+        .groupby("c_nationkey").sum("n_customers").to_pandas()
+    if out.empty:  # Ray drops schema on all-empty blocks; re-type
+        return pd.DataFrame({"c_nationkey": pd.Series([], dtype="int64"),
+                             "n_customers": pd.Series([], dtype="int64")})
+    return out.rename(columns={"sum(n_customers)": "n_customers"})
+
+
+ANTI_JOIN_SQL = """
+SELECT c_nationkey, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+EXACT_QUERIES["customers_without_orders"] = (customers_without_orders,
+                                             ANTI_JOIN_SQL)
