@@ -1749,3 +1749,28 @@ GROUP BY c_nationkey
 
 EXACT_QUERIES["customers_without_orders"] = (customers_without_orders,
                                              ANTI_JOIN_SQL)
+
+
+def embedding_dedup_clusters(sf_dir: str):
+    """SEMANTIC dedup cluster resolution: cosine near-dup pairs (exact
+    block-pair self-join) -> connected components -> each vector mapped to
+    its cluster's minimum vec_id (the canonical embedding kept) — the
+    embedding-space analogue of dedup_clusters."""
+    from .analytics import connected_components
+    from .ann import cosine_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_neardup_pairs(ds, threshold=0.5)
+    edges = pairs.map_batches(
+        lambda b: pd.DataFrame({"src": b["id_a"].astype("int64"),
+                                "dst": b["id_b"].astype("int64")}),
+        batch_format="pandas")
+    cc = connected_components(edges)
+    if len(cc) == 0:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "canonical_id": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"vec_id": cc["vertex"].astype("int64"),
+                         "canonical_id": cc["component"].astype("int64")})
+
+
+ROWS_ONLY_QUERIES["embedding_dedup_clusters"] = embedding_dedup_clusters
