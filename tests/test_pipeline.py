@@ -163,3 +163,26 @@ class TestPipelineInvariance:
         nr_full = sum(full.counts[(s, "hll")][0] for s in full.scopes("hll")
                       if s != "__global__" and s not in head)
         assert nr_tail == nr_full
+
+
+def test_streaming_split_serves_disjoint_shards():
+    """Training-serving path: streaming_split fans the dataset out to N
+    concurrent consumers (one per trainer) with no row lost or duplicated."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ray.data as rd
+
+    ds = rd.range(1000)
+    its = ds.streaming_split(2, equal=True)
+
+    def consume(it):
+        got = []
+        for b in it.iter_batches(batch_size=128):
+            got.extend(int(x) for x in b["id"])
+        return got
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        a, b = ex.map(consume, its)
+    assert len(a) + len(b) == 1000
+    assert set(a).isdisjoint(b)
+    assert set(a) | set(b) == set(range(1000))
