@@ -1774,3 +1774,27 @@ def embedding_dedup_clusters(sf_dir: str):
 
 
 ROWS_ONLY_QUERIES["embedding_dedup_clusters"] = embedding_dedup_clusters
+
+
+def cms_heavy_hitters_per_source(sf_dir: str):
+    """GROUPED approximate heavy hitters: top-5 tokens per source from the
+    per-source count-min scopes the sketch pipeline already maintains —
+    the grouped analogue of cms_heavy_hitters, no extra pass over data."""
+    res = _sketch_result(sf_dir)
+    rows = {"source": [], "rank": [], "token_id": [], "est_count": []}
+    for scope in res.scopes("cms"):
+        if scope == SCOPE_GLOBAL:
+            continue
+        src = scope.removeprefix("src:")
+        for i, (tok, cnt) in enumerate(res.get("cms", scope)
+                                       .heavy_hitters(5), 1):
+            rows["source"].append(src)
+            rows["rank"].append(i)
+            rows["token_id"].append(int(tok))
+            rows["est_count"].append(int(cnt))
+    out = pd.DataFrame(rows)
+    out["rank"] = out["rank"].astype("int64")
+    return out
+
+
+ROWS_ONLY_QUERIES["cms_heavy_hitters_per_source"] = cms_heavy_hitters_per_source
