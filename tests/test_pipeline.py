@@ -186,3 +186,25 @@ def test_streaming_split_serves_disjoint_shards():
     assert len(a) + len(b) == 1000
     assert set(a).isdisjoint(b)
     assert set(a) | set(b) == set(range(1000))
+
+
+def test_per_source_heavy_hitter_counts_exact_on_fixture(result, sf_small):
+    """Per-source CMS scopes at fixture scale run in sparse-exact mode, so
+    the top-5 counts must EQUAL the exact per-(source, token) counts."""
+    from sgp_sketch.pipeline import SCOPE_GLOBAL
+    from sgp_sketch.schema import tokens_dataset
+
+    # exact counts via the SAME tokenizer the pipeline uses
+    exact: dict = {}
+    tdf = tokens_dataset(sf_small).to_pandas()
+    for _, row in tdf.iterrows():
+        for t in row["tokens"]:
+            exact[(row["source"], int(t))] = \
+                exact.get((row["source"], int(t)), 0) + 1
+
+    for scope in result.scopes("cms"):
+        if scope == SCOPE_GLOBAL:
+            continue
+        src = scope.removeprefix("src:")
+        for tok, cnt in result.get("cms", scope).heavy_hitters(5):
+            assert exact[(src, int(tok))] == cnt
