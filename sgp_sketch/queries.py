@@ -1168,6 +1168,10 @@ def dedup_clusters(sf_dir: str):
     })
 
 
+# ORACLE-SCALE NOTE: the recursive reach CTE materializes O(|component|^2)
+# (vertex, label) pairs — exact and fast at the driver's sf0.01 gate, but
+# it grinds for hours on sf0.1's 5000-doc mega component. The Ray side
+# (LSH pairs -> path-halving CC) is the scale path: 17s at sf0.1.
 DEDUP_CLUSTERS_SQL = """
 WITH RECURSIVE
 s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
