@@ -125,7 +125,11 @@ def exact_discrete_quantiles(ds, value_col: str, qs: list[float]) -> pd.DataFram
     n = int(cum[-1])
     out = []
     for q in qs:
-        idx = int(np.floor(q * (n - 1)))  # 'lower' interpolation rank
+        # DuckDB quantile_disc rank: smallest element whose CDF >= q,
+        # i.e. 0-based index ceil(q*n)-1 (NOT numpy 'lower' floor(q*(n-1))
+        # — the two coincide only when q*n is integral, which masked the
+        # difference until a 250-rows-per-group case at sf0.1)
+        idx = max(int(np.ceil(q * n)) - 1, 0)
         out.append(values[int(np.searchsorted(cum, idx + 1))])
     return pd.DataFrame({"q": qs, "value": out})
 

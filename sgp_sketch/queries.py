@@ -1575,7 +1575,12 @@ ROWS_ONLY_QUERIES["hll_source_overlap"] = hll_source_overlap
 def winnow_dup_pairs_q(sf_dir: str):
     """Char-level near-dup pairs by shared winnowing fingerprints (>= 32
     shared windows — measured to separate true near-dups from template
-    noise on this corpus; idf cut on ubiquitous fingerprints)."""
+    noise on this corpus; idf cut on ubiquitous fingerprints).
+
+    Regime note: winnowing targets LOCALIZED duplication. On sf0.1, where
+    one near-dup cluster spans ~46% of the corpus, the cluster's shared
+    fingerprints exceed any sane df cut and are treated as corpus-dominant
+    boilerplate (0 pairs) — by design; MinHash-LSH owns that regime."""
     from .dedup import winnow_dup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1685,7 +1690,8 @@ def ntok_quantiles_per_source(sf_dir: str):
         cum = np.cumsum(g["sum(cnt)"].to_numpy())
         n = int(cum[-1])
         for q in _PS_QS:
-            idx = int(np.floor(q * (n - 1)))
+            # quantile_disc rank = ceil(q*n)-1 (see ops.exact_discrete_quantiles)
+            idx = max(int(np.ceil(q * n)) - 1, 0)
             rows.append({"source": src, "q": q,
                          "value": int(values[np.searchsorted(cum, idx + 1)])})
     return pd.DataFrame(rows)
