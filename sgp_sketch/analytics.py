@@ -364,3 +364,70 @@ def connected_components(edges, *, max_rounds: int = 64) -> pd.DataFrame:
             break
 
     return pd.DataFrame({"vertex": ids, "component": ids[labels]})
+
+
+def bfs_partition_pruned(edges, pmap: pd.DataFrame, source, *,
+                         max_depth: int = 10) -> tuple[pd.DataFrame, float]:
+    """BFS that USES the partition map: edges are bucketed by their
+    source-vertex partition once (k filtered, pinned Datasets); each round
+    scans ONLY the partitions that hold frontier vertices. This is the
+    query-time payoff the reference's partition-quality sweeps measure —
+    a locality-aware partitioning keeps each frontier inside few
+    partitions, so most rounds touch a fraction of the edge data.
+
+    Returns (distances frame — identical to ``bfs_layers`` — and the
+    fraction of edge rows scanned relative to a full-scan BFS).
+    """
+    import ray
+
+    vmap = dict(zip(pmap["vertex"], pmap["partition"]))
+    k = int(pmap["partition"].max()) + 1 if len(pmap) else 1
+    pref = ray.put(vmap)
+
+    def annotate(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(pref)
+        out = b.copy()
+        out["p_src"] = out["src"].map(m).fillna(-1).astype("int64")
+        return out
+
+    lab = edges.map_batches(annotate, batch_format="pandas") \
+        .repartition(max(k, 8)).materialize()
+    parts = []
+    part_rows = []
+    for p in range(k):
+        dsp = lab.filter(expr=f"p_src == {p}").materialize()
+        parts.append(dsp)
+        part_rows.append(dsp.count())
+    total_rows = sum(part_rows)
+
+    visited = {source: 0}
+    frontier = {source}
+    scanned = 0
+    rounds = 0
+    for depth in range(1, max_depth + 1):
+        touch = sorted({vmap.get(v, -1) for v in frontier} - {-1})
+        if not touch:
+            break
+        rounds += 1
+        scanned += sum(part_rows[p] for p in touch)
+        fref = ray.put(frontier)
+
+        def expand(batch: pd.DataFrame) -> pd.DataFrame:
+            f = ray.get(fref)
+            hit = batch.loc[batch["src"].isin(f), "dst"].unique()
+            return pd.DataFrame({"v": pd.Series(hit, dtype=object)})
+
+        nxt: set = set()
+        for p in touch:
+            for b in parts[p].map_batches(expand, batch_format="pandas") \
+                    .iter_batches(batch_format="pyarrow"):
+                nxt.update(b["v"].to_pylist())
+        frontier = {v for v in nxt if v not in visited}
+        if not frontier:
+            break
+        for v in frontier:
+            visited[v] = depth
+    out = pd.DataFrame(sorted(visited.items()), columns=["vertex", "dist"])
+    out["dist"] = out["dist"].astype("int64")
+    frac = scanned / (total_rows * max(rounds, 1)) if total_rows else 0.0
+    return out, frac

@@ -444,3 +444,19 @@ def test_pack_sequences_all_oversize():
     per_seq = m.groupby(["bucket", "seq"]).size()
     assert (per_seq == 1).all()  # every oversize doc is its own sequence
     assert len(m) == 3
+
+
+def test_bfs_partition_pruned_matches_and_prunes(edges_ds):
+    """Pruned BFS must return the SAME distances as the full-scan BFS and,
+    under a locality-aware partitioning of the clustered graph, touch only
+    a fraction of the edge data per round."""
+    from sgp_sketch.analytics import bfs_layers, bfs_partition_pruned
+    from sgp_sketch.sources import partition_graph_stream, snap_to_adjacency
+
+    adj = snap_to_adjacency(edges_ds)
+    pm, _ = partition_graph_stream(adj, k=4, algorithm="fennel")
+    full = bfs_layers(edges_ds, "c0v0", max_depth=3)
+    pruned, frac = bfs_partition_pruned(edges_ds, pm, "c0v0", max_depth=3)
+    assert pruned.equals(full)
+    # BFS from inside one cluster stays mostly local under fennel
+    assert 0.0 < frac < 1.0
