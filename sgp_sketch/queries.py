@@ -469,6 +469,9 @@ def cosine_neardup(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = cosine_neardup_pairs(ds, threshold=0.5).to_pandas()
+    if out.empty:  # Ray drops schema on all-empty blocks; re-type
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
     return out[["id_a", "id_b"]]
 
 
