@@ -31,6 +31,16 @@ def _read(sf_dir: str, table: str, columns=None):
     return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+
+
+def _typed_or(out, schema: dict):
+    """Re-type an all-empty collected result (Ray drops schema when every
+    block is empty) so column selection and driver comparison stay stable."""
+    if out.empty and not set(schema) <= set(out.columns):
+        return pd.DataFrame({c: pd.Series([], dtype=d)
+                             for c, d in schema.items()})
+    return out
+
 STOPLIST = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
 TOKEN_PATTERN_SQL = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
@@ -445,6 +455,7 @@ def ann_topk(sf_dir: str):
     qids = qt["vec_id"].to_numpy(zero_copy_only=False)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = brute_force_topk(ds, queries, qids, k=10).to_pandas()
+    out = _typed_or(out, {"query_id": "int64", "vec_id": "int64", "rank": "int64"})
     return out[["query_id", "vec_id", "rank"]]
 
 
@@ -634,6 +645,7 @@ def minhash_lsh_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = minhash_lsh_pipeline(ds, n_perm=128, bands=32,
                                jaccard_threshold=0.95).to_pandas()
+    out = _typed_or(out, {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
     return out[["doc_a", "doc_b", "jaccard"]]
 
 
@@ -679,6 +691,7 @@ def lsh_ann_topk(sf_dir: str):
     qids = qt["vec_id"].to_numpy(zero_copy_only=False)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = lsh_topk(ds, queries, qids, k=10).to_pandas()
+    out = _typed_or(out, {"query_id": "int64", "vec_id": "int64", "rank": "int64"})
     return out[["query_id", "vec_id", "rank"]]
 
 
@@ -694,6 +707,7 @@ def ivf_ann_topk(sf_dir: str):
     qids = qt["vec_id"].to_numpy(zero_copy_only=False)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ivf_topk(ds, queries, qids, k=10).to_pandas()
+    out = _typed_or(out, {"query_id": "int64", "vec_id": "int64", "rank": "int64"})
     return out[["query_id", "vec_id", "rank"]]
 
 
@@ -992,6 +1006,7 @@ def shingle_jaccard_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = minhash_lsh_pipeline(ds, n_perm=128, bands=32,
                                jaccard_threshold=0.8, shingle=3).to_pandas()
+    out = _typed_or(out, {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
     return out[["doc_a", "doc_b", "jaccard"]]
 
 
