@@ -1826,3 +1826,40 @@ def cms_heavy_hitters_per_source(sf_dir: str):
 
 
 ROWS_ONLY_QUERIES["cms_heavy_hitters_per_source"] = cms_heavy_hitters_per_source
+
+
+def ntok_stats_per_source(sf_dir: str):
+    """The FIRST oracle-paired SKETCH-PIPELINE query: per-source
+    count/sum/min/max of document token counts computed by the
+    StatsAccumulator UDAF riding the full sketch machinery (greedy plan,
+    partial shuffle, merge tree) — exact by construction, so DuckDB can
+    hash-check the ENTIRE pipeline, not just the estimator."""
+    from .pipeline import SketchSpec
+
+    ds = tokens_dataset(sf_dir)
+    res = build_sketches(ds, k=8, batch_size=4096,
+                         specs=[SketchSpec("stats", value="n_tok")])
+    rows = {"source": [], "n_docs": [], "sum_tok": [],
+            "min_tok": [], "max_tok": []}
+    for scope in res.scopes("stats"):
+        if scope == SCOPE_GLOBAL:
+            continue
+        est = res.get("stats", scope).estimate()
+        rows["source"].append(scope.removeprefix("src:"))
+        rows["n_docs"].append(int(est["count"]))
+        rows["sum_tok"].append(int(est["sum"]))
+        rows["min_tok"].append(int(est["min"]))
+        rows["max_tok"].append(int(est["max"]))
+    return pd.DataFrame(rows)
+
+
+NTOK_STATS_SQL = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       min(len(string_split(text, ' '))) AS min_tok,
+       max(len(string_split(text, ' '))) AS max_tok
+FROM documents GROUP BY source
+"""
+
+EXACT_QUERIES["ntok_stats_per_source"] = (ntok_stats_per_source,
+                                          NTOK_STATS_SQL)

@@ -4,6 +4,7 @@ from .cms import CountMinSketch
 from .bloom import BlockedBloomFilter
 from .kll import KLLSketch
 from .tdigest import TDigest
+from .stats import StatsAccumulator
 
 __all__ = [
     "Sketch",
@@ -15,4 +16,5 @@ __all__ = [
     "BlockedBloomFilter",
     "KLLSketch",
     "TDigest",
+    "StatsAccumulator",
 ]

@@ -106,3 +106,18 @@ def test_roundtrip_all_kinds(data):
             assert rt.quantile(0.5) == sk.quantile(0.5)
         elif isinstance(sk, HyperLogLog):
             assert np.array_equal(rt.registers, sk.registers)
+
+
+@settings(max_examples=40, deadline=None)
+@given(values, split_points)
+def test_stats_merge_associative(data, cuts):
+    from sgp_sketch.sketches import StatsAccumulator
+
+    merged = StatsAccumulator()
+    for part in _parts(data, cuts):
+        s = StatsAccumulator()
+        s.update(np.asarray(part, dtype=np.float64))
+        merged.merge(s)
+    one = StatsAccumulator()
+    one.update(np.asarray(data, dtype=np.float64))
+    assert merged.estimate() == one.estimate()

@@ -356,3 +356,21 @@ class TestSparsePartials:
         rt = sketch_from_bytes(b.to_bytes())
         assert rt.is_sparse
         assert rt.contains(np.array(["x", "y"], dtype=object)).all()
+
+
+class TestStatsAccumulator:
+    def test_exact_and_round_trip(self):
+        from sgp_sketch.sketches import StatsAccumulator, sketch_from_bytes
+
+        s = StatsAccumulator()
+        s.update(np.array([3, 1, 4, 1, 5]))
+        rt = sketch_from_bytes(s.to_bytes())
+        est = rt.estimate()
+        assert est == {"count": 5, "sum": 14.0, "mean": 2.8,
+                       "min": 1.0, "max": 5.0}
+
+    def test_empty(self):
+        from sgp_sketch.sketches import StatsAccumulator
+
+        est = StatsAccumulator().estimate()
+        assert est["count"] == 0 and est["min"] is None
