@@ -37,7 +37,6 @@ from .pipeline import (
     DEFAULT_SPECS,
     SketchResult,
     SketchSpec,
-    SketchUpdater,
     merge_partial_group,
     plan_partitions,
 )

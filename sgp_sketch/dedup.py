@@ -21,7 +21,6 @@ import sys
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from .hashing import hash_str, splitmix64
 

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from .pipeline import DEFAULT_SPECS, SCOPE_GLOBAL, build_sketches
+from .pipeline import SCOPE_GLOBAL, build_sketches
 from .schema import tokens_dataset
 
 
