@@ -241,15 +241,22 @@ def append_increment(
         for s, l in zip(bt["source"].to_pylist(), bt["load"].to_pylist()):
             inc_loads[s] = inc_loads.get(s, 0) + int(l)
 
-    # extend the plan: new sources -> least-loaded partition (greedy,
-    # heaviest first — the LDG-style balance rule without re-salting)
+    # extend the plan: new sources -> least-loaded partitions (greedy,
+    # heaviest first — the LDG-style balance rule). A new MONSTER source
+    # (load above the mean partition load) SALTS across ceil(load/mean)
+    # partitions, same policy as the initial salted plan — sound because
+    # sketches merge; without it one increment could hotspot a partition.
     new_sources = sorted((s for s in inc_loads if s not in amap),
                          key=lambda s: (-inc_loads[s], s))
     for s in new_sources:
-        pid = int(np.argmin(loads))
-        amap[s] = np.asarray([pid], dtype=np.int32)
-        loads[pid] += inc_loads[s]
-        source_loads[s] = inc_loads[s]
+        load = inc_loads[s]
+        mean_load = max(float(loads.sum() + load) / k, 1.0)
+        width = min(max(int(np.ceil(load / mean_load)), 1), k)
+        pids = np.argsort(loads)[:width].astype(np.int32)
+        amap[s] = np.sort(pids)
+        for p in pids:
+            loads[int(p)] += load // width
+        source_loads[s] = load
     new_set = set(new_sources)
     for s, l in inc_loads.items():
         if s in new_set:

@@ -222,3 +222,31 @@ class TestIncrement:
         # planned loads are token counts: final total = base plan + 7 new
         assert res.metrics["n_tokens"] == sum(before["partition_loads"]) + 7
         assert sum(after["partition_loads"]) == sum(before["partition_loads"]) + 7
+
+    def test_increment_salts_new_monster_source(self, sf_small, tmp_path):
+        import json as _json
+
+        import pandas as pd
+        import ray.data as rd
+
+        from sgp_sketch.checkpoint import append_increment, run_checkpointed
+        from sgp_sketch.schema import tokens_dataset
+
+        ckpt = str(tmp_path / "monster_ckpt")
+        base = run_checkpointed(tokens_dataset(sf_small), ckpt, k=4,
+                                batch_size=100)
+        # a monster source ~2x the whole base corpus
+        n_tok = int(base.metrics["n_tokens"]) * 2
+        rows = 50
+        per = n_tok // rows
+        inc = rd.from_pandas(pd.DataFrame({
+            "doc_id": [f"m{i}" for i in range(rows)],
+            "tokens": [list(range(per))] * rows,
+            "n_tok": [per] * rows,
+            "source": ["monster"] * rows,
+        }))
+        res = append_increment(inc, ckpt)
+        with open(f"{ckpt}/plan.json") as f:
+            plan = _json.load(f)
+        assert len(plan["amap"]["monster"]) > 1  # salted across partitions
+        assert res.metrics["n_rows"] == base.metrics["n_rows"] + rows
