@@ -176,7 +176,9 @@ def asof_join(left, right, *, on: str, by: str, right_on: str | None = None,
     Right-side ties on (by, on) are broken deterministically: the row with
     the max ``tiebreak`` wins. (SQL ASOF JOIN is tie-nondeterministic;
     oracle parity requires pre-deduplicating the right side the same way.)
-    Both sides must have disjoint column names.
+    Both sides must have disjoint column names, and integer columns must be
+    non-null (the kernel restores Arrow int dtypes after the tagged union,
+    which a null would break — pre-fill or cast nullable ints upstream).
     """
     r_on = right_on or on
     r_by = right_by or by
