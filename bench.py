@@ -194,21 +194,29 @@ def run_scaling() -> dict:
     # runs measured 30.7s vs 51.7s) — a single lo/hi pair measures the
     # noise epoch, not the engine. So: alternate lo/hi windows and take
     # the per-side BEST (each side is itself best-of-N repeats inside its
-    # subprocess); stop early once a clean pair lands.
+    # subprocess). The round count is FIXED up front — conditioning the
+    # stopping rule on the observed efficiency would bias the statistic
+    # upward, so every configured round always runs and the full
+    # per-round series is reported alongside the final per-side bests.
     rounds = int(os.environ.get("SGP_SCALE_ROUNDS", "3"))
     best: dict[int, dict] = {}
-    n_rounds = 0
+    series = []
     for _ in range(rounds):
-        n_rounds += 1
+        rnd = {}
         for ncpu in (SCALE_LO, SCALE_HI):
             r = _one(ncpu)
+            rnd[ncpu] = r
             if ncpu not in best or r["build_sec"] < best[ncpu]["build_sec"]:
                 best[ncpu] = r
-        lo, hi = best[SCALE_LO], best[SCALE_HI]
-        eff = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) \
-            / (SCALE_HI / SCALE_LO) if lo["tokens_per_sec"] else 0.0
-        if eff >= 0.8:
-            break
+        series.append({
+            "build_sec_lo": rnd[SCALE_LO]["build_sec"],
+            "build_sec_hi": rnd[SCALE_HI]["build_sec"],
+            "tokens_per_sec_lo": rnd[SCALE_LO]["tokens_per_sec"],
+            "tokens_per_sec_hi": rnd[SCALE_HI]["tokens_per_sec"],
+        })
+    lo, hi = best[SCALE_LO], best[SCALE_HI]
+    eff = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) \
+        / (SCALE_HI / SCALE_LO) if lo["tokens_per_sec"] else 0.0
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -216,7 +224,8 @@ def run_scaling() -> dict:
         "num_cpus_lo": SCALE_LO,
         "num_cpus_hi": SCALE_HI,
         "pinned": bool(_pin_cmd(1)),
-        "rounds": n_rounds,
+        "rounds": rounds,
+        "series": series,
         "build_sec_lo": lo["build_sec"],
         "build_sec_hi": hi["build_sec"],
         "tokens_per_sec_lo": lo["tokens_per_sec"],

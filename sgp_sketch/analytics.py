@@ -313,18 +313,11 @@ def sssp_distances(edges, source, *, weight_col: str | None = None,
     return pd.DataFrame({"vertex": ids[reach], "dist": dist[reach]})
 
 
-def connected_components(edges, *, max_rounds: int = 64) -> pd.DataFrame:
-    """Connected components via min-label propagation + path-halving — the
-    reference sweep's third workload (twitter.json:44: connectedcomponents).
-
-    Labels are dense indices into the sorted vertex array, so the converged
-    label of every vertex is the component's MINIMUM vertex id — a
-    deterministic canonical representative (this is also the dedup-cluster
-    resolution step: component min = the one document kept per near-dup
-    cluster). Per round: labels broadcast once; one vectorized pass over the
-    streamed edges emits in-batch segment-min partials; driver folds with
-    ``np.minimum.at`` then shortcuts ``labels = min(labels, labels[labels])``
-    (path halving), so convergence is O(log diameter) rounds, not O(diameter).
+def _cc_arrays(edges, *, max_rounds: int = 64
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Core label propagation shared by ``connected_components`` (pandas
+    output) and ``connected_components_ds`` (Dataset output). Returns the
+    sorted vertex array and, per vertex, its component's minimum vertex id.
     """
     import ray
 
@@ -332,8 +325,7 @@ def connected_components(edges, *, max_rounds: int = 64) -> pd.DataFrame:
     ids = _collect_vertices(edges)
     n = len(ids)
     if n == 0:
-        return pd.DataFrame({"vertex": pd.Series([], dtype=object),
-                             "component": pd.Series([], dtype=object)})
+        return ids, np.array([], dtype=object)
     ids_ref = ray.put(ids)
 
     labels = np.arange(n, dtype=np.int64)
@@ -363,7 +355,52 @@ def connected_components(edges, *, max_rounds: int = 64) -> pd.DataFrame:
         if np.array_equal(before, labels):
             break
 
-    return pd.DataFrame({"vertex": ids, "component": ids[labels]})
+    return ids, ids[labels]
+
+
+def connected_components(edges, *, max_rounds: int = 64) -> pd.DataFrame:
+    """Connected components via min-label propagation + path-halving — the
+    reference sweep's third workload (twitter.json:44: connectedcomponents).
+
+    Labels are dense indices into the sorted vertex array, so the converged
+    label of every vertex is the component's MINIMUM vertex id — a
+    deterministic canonical representative (this is also the dedup-cluster
+    resolution step: component min = the one document kept per near-dup
+    cluster). Per round: labels broadcast once; one vectorized pass over the
+    streamed edges emits in-batch segment-min partials; driver folds with
+    ``np.minimum.at`` then shortcuts ``labels = min(labels, labels[labels])``
+    (path halving), so convergence is O(log diameter) rounds, not O(diameter).
+    """
+    ids, comp = _cc_arrays(edges, max_rounds=max_rounds)
+    return pd.DataFrame({"vertex": ids, "component": comp})
+
+
+def connected_components_ds(edges, *, max_rounds: int = 64,
+                            rows_per_block: int = 1 << 20):
+    """Dataset-returning connected components for DISTRIBUTED consumers.
+
+    The label fold is the same vertex-scale driver vector as
+    ``connected_components`` (the documented contract — labels are 16 B per
+    paired vertex), but the OUTPUT ships straight into object-store Arrow
+    blocks instead of one driver pandas frame, so downstream stages
+    (per-component ranking, tile replication, joins) run as Dataset
+    transforms and never re-materialize the component table on the driver.
+    Returns (Dataset[vertex, component], n_vertices).
+    """
+    import ray.data as rd
+
+    ids, comp = _cc_arrays(edges, max_rounds=max_rounds)
+    n = len(ids)
+    if n == 0:
+        empty = pa.table({"vertex": pa.array([], pa.int64()),
+                          "component": pa.array([], pa.int64())})
+        return rd.from_arrow(empty), 0
+    tables = [
+        pa.table({"vertex": pa.array(ids[i:i + rows_per_block]),
+                  "component": pa.array(comp[i:i + rows_per_block])})
+        for i in range(0, n, rows_per_block)
+    ]
+    return rd.from_arrow(tables), n
 
 
 def bfs_partition_pruned(edges, pmap: pd.DataFrame, source, *,

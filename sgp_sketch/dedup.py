@@ -26,6 +26,9 @@ from .hashing import hash_str, splitmix64
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+# MinHash perm-axis chunk: bounds the (n_words x chunk) hash grid temporary
+_PERM_CHUNK = 32
+
 
 def content_hash_batch(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     import hashlib
@@ -184,17 +187,23 @@ def minhash_signatures(word_lists: list[list[str]], a: np.ndarray, b: np.ndarray
     lens = np.array([len(s) for s in sets], dtype=np.int64)
     flat = np.concatenate(sets) if sets else np.empty(0, np.uint64)
     flat = flat % _MERSENNE
-    with np.errstate(over="ignore"):
-        # (n_words, n_perm): wrapping mul then mod-Mersenne approximation via
-        # true Python-free path: use float-free exact (a*h+b) mod p with
-        # 128-bit emulation avoided — wrap-around mod 2^64 then mod p is NOT
-        # the textbook hash, but it is a fixed deterministic universal-ish
-        # family, which is all MinHash needs (uniform, pairwise-independent
-        # enough in practice).
-        grid = (flat[:, None] * a[None, :] + b[None, :]) % _MERSENNE
     starts = np.zeros(len(sets), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    return np.minimum.reduceat(grid, starts, axis=0)
+    out = np.empty((len(sets), n_perm), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # wrapping mul then mod-Mersenne is NOT the textbook universal
+        # hash, but it is a fixed deterministic universal-ish family,
+        # which is all MinHash needs (uniform, pairwise-independent
+        # enough in practice). The perm axis is CHUNKED so the
+        # (n_words x perm_chunk) temporary stays bounded (~30 MB at the
+        # default batch size) instead of scaling with n_perm — same
+        # result, bounded peak memory on long-document batches.
+        for lo in range(0, n_perm, _PERM_CHUNK):
+            hi = min(lo + _PERM_CHUNK, n_perm)
+            grid = (flat[:, None] * a[None, lo:hi] + b[None, lo:hi]) \
+                % _MERSENNE
+            out[:, lo:hi] = np.minimum.reduceat(grid, starts, axis=0)
+    return out
 
 
 def _shingles(words: list[str], k: int) -> list[str]:
@@ -308,9 +317,9 @@ def minhash_lsh_pipeline(
     star = dedup_pairs(
         routed.groupby("skey").map_groups(_star, batch_format="pandas"))
 
-    from .analytics import connected_components
+    from .analytics import connected_components_ds
 
-    comp = connected_components(star.map_batches(
+    comp_ds, n_comp_rows = connected_components_ds(star.map_batches(
         lambda b: b.rename(columns={"doc_a": "src", "doc_b": "dst"}),
         batch_format="pandas"))
 
@@ -340,12 +349,16 @@ def minhash_lsh_pipeline(
                              "sig": [row.tobytes() for row in sig]})
 
     # A mega-component must not expand in ONE task: docs get a chunk rank
-    # within their component (driver-side, vertex-scale), every (ci<=cj)
-    # chunk TILE becomes an independent unit of work, and each doc row is
-    # duplicated once per tile it participates in (n_chunks rows/doc —
-    # quadratic work split into balanced tiles, which is exactly what
-    # all-pairs over a dup cluster costs no matter how it is scheduled).
-    # Tiles hash into 64 fixed groups; signatures join per tile row.
+    # within their component, every (ci<=cj) chunk TILE becomes an
+    # independent unit of work, and each doc row is duplicated once per
+    # tile it participates in (n_chunks rows/doc — quadratic work split
+    # into balanced tiles, which is exactly what all-pairs over a dup
+    # cluster costs no matter how it is scheduled). Ranking + tile
+    # replication run DISTRIBUTED: component rows route by
+    # hash(component) into 64 fixed groups (each component lands whole in
+    # one group) and every group builds its tiles vectorized — the driver
+    # never materializes the component table. Tiles then hash into 64
+    # fixed expansion groups; signatures join per tile row.
     _CHUNK = 512  # tile side: est working set per tile ~ 512*512*2B
 
     def _expand_tiles(g: pd.DataFrame) -> pd.DataFrame:
@@ -398,34 +411,55 @@ def minhash_lsh_pipeline(
 
     import ray.data as _rd
 
-    if len(comp) == 0:
+    if n_comp_rows == 0:
         cand = _rd.from_pandas(_empty_pairs())
     else:
-        comp = comp.sort_values(["component", "vertex"]).reset_index(drop=True)
-        rank = comp.groupby("component").cumcount().to_numpy()
-        chunk = rank // _CHUNK
-        sizes = comp.groupby("component")["vertex"].transform("size").to_numpy()
-        nch = (sizes - 1) // _CHUNK + 1
-        # duplicate each row once per tile: (min(c,x), max(c,x)) for all x
-        rep = np.repeat(np.arange(len(comp)), nch)
-        off = np.arange(len(rep)) - np.repeat(
-            np.concatenate([[0], np.cumsum(nch)[:-1]]), nch)
-        c_rep = chunk[rep]
-        ci = np.minimum(c_rep, off)
-        cj = np.maximum(c_rep, off)
-        tiles = pd.DataFrame({
-            "vertex": comp["vertex"].to_numpy()[rep],
-            "component": comp["component"].to_numpy()[rep],
-            "chunk": c_rep.astype("int64"),
-            "ci": ci.astype("int64"),
-            "cj": cj.astype("int64"),
-        })
-        tkey = splitmix64(tiles["component"].to_numpy().astype(np.uint64)
-                          ^ splitmix64((ci * 1_000_003 + cj).astype(np.uint64)))
-        tiles["tkey"] = (tkey % np.uint64(_DEDUP_BUCKETS)).astype("int64")
+        def _route_comp(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.copy()
+            out["ckey"] = (
+                splitmix64(b["component"].to_numpy().astype(np.uint64))
+                % np.uint64(_DEDUP_BUCKETS)).astype("int64")
+            return out
+
+        def _tiles_group(g: pd.DataFrame) -> pd.DataFrame:
+            # every component is whole inside this group (routed by
+            # component hash), so ranks/sizes segment locally: one sort,
+            # run-length boundaries, then each row repeats once per tile
+            # (min(chunk, x), max(chunk, x)) for x in 0..n_chunks-1
+            g2 = g.sort_values(["component", "vertex"])
+            compv = g2["component"].to_numpy().astype(np.int64)
+            verts = g2["vertex"].to_numpy().astype(np.int64)
+            new = np.ones(len(g2), dtype=bool)
+            new[1:] = compv[1:] != compv[:-1]
+            starts = np.flatnonzero(new)
+            lens = np.diff(np.append(starts, len(g2)))
+            rank = np.arange(len(g2)) - np.repeat(starts, lens)
+            chunk = rank // _CHUNK
+            sizes = np.repeat(lens, lens)
+            nch = (sizes - 1) // _CHUNK + 1
+            rep = np.repeat(np.arange(len(g2)), nch)
+            off = np.arange(len(rep)) - np.repeat(
+                np.concatenate([[0], np.cumsum(nch)[:-1]]), nch)
+            c_rep = chunk[rep]
+            ci = np.minimum(c_rep, off)
+            cj = np.maximum(c_rep, off)
+            tkey = splitmix64(compv[rep].astype(np.uint64)
+                              ^ splitmix64((ci * 1_000_003 + cj)
+                                           .astype(np.uint64)))
+            return pd.DataFrame({
+                "vertex": verts[rep],
+                "component": compv[rep],
+                "chunk": c_rep.astype("int64"),
+                "ci": ci.astype("int64"),
+                "cj": cj.astype("int64"),
+                "tkey": (tkey % np.uint64(_DEDUP_BUCKETS)).astype("int64"),
+            })
+
+        tiles = comp_ds.map_batches(_route_comp, batch_format="pandas") \
+            .groupby("ckey").map_groups(_tiles_group, batch_format="pandas")
         sig_tbl = ds.select_columns([doc_col, text_col]).map_batches(
             _sig_tbl, batch_format="pandas")
-        with_sig = _rd.from_pandas(tiles).join(
+        with_sig = tiles.join(
             sig_tbl, join_type="inner", num_partitions=8, on=("vertex",))
         cand = with_sig.groupby("tkey").map_groups(
             _expand_tiles, batch_format="pandas")

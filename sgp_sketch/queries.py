@@ -1170,7 +1170,7 @@ def dedup_clusters(sf_dir: str):
     min-label propagation + path halving over the streamed pair Dataset
     (analytics.connected_components); only docs appearing in >=1 pair are
     returned (singletons are trivially their own canonical)."""
-    from .analytics import connected_components
+    from .analytics import connected_components_ds
     from .dedup import minhash_lsh_pipeline
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1179,11 +1179,12 @@ def dedup_clusters(sf_dir: str):
     edges = pairs.map_batches(
         lambda b: pd.DataFrame({"src": b["doc_a"], "dst": b["doc_b"]}),
         batch_format="pandas")
-    cc = connected_components(edges)
-    return pd.DataFrame({
-        "doc_id": cc["vertex"].astype("int64"),
-        "canonical_id": cc["component"].astype("int64"),
-    })
+    cc, _n = connected_components_ds(edges)
+    return cc.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["vertex"].astype("int64"),
+                                "canonical_id": b["component"]
+                                .astype("int64")}),
+        batch_format="pandas")
 
 
 # ORACLE-SCALE NOTE: the recursive reach CTE materializes O(|component|^2)
@@ -1784,7 +1785,7 @@ def embedding_dedup_clusters(sf_dir: str):
     block-pair self-join) -> connected components -> each vector mapped to
     its cluster's minimum vec_id (the canonical embedding kept) — the
     embedding-space analogue of dedup_clusters."""
-    from .analytics import connected_components
+    from .analytics import connected_components_ds
     from .ann import cosine_neardup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1793,12 +1794,15 @@ def embedding_dedup_clusters(sf_dir: str):
         lambda b: pd.DataFrame({"src": b["id_a"].astype("int64"),
                                 "dst": b["id_b"].astype("int64")}),
         batch_format="pandas")
-    cc = connected_components(edges)
-    if len(cc) == 0:
+    cc, n = connected_components_ds(edges)
+    if n == 0:
         return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                              "canonical_id": pd.Series([], dtype="int64")})
-    return pd.DataFrame({"vec_id": cc["vertex"].astype("int64"),
-                         "canonical_id": cc["component"].astype("int64")})
+    return cc.map_batches(
+        lambda b: pd.DataFrame({"vec_id": b["vertex"].astype("int64"),
+                                "canonical_id": b["component"]
+                                .astype("int64")}),
+        batch_format="pandas")
 
 
 ROWS_ONLY_QUERIES["embedding_dedup_clusters"] = embedding_dedup_clusters
