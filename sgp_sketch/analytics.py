@@ -424,14 +424,18 @@ def bfs_partition_pruned(edges, pmap: pd.DataFrame, source, *,
     def annotate(b: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(pref)
         out = b.copy()
-        out["p_src"] = out["src"].map(m).fillna(-1).astype("int64")
+        # sources absent from the partition map route to a dedicated
+        # OVERFLOW bucket (index k) that is scanned whenever the frontier
+        # holds an unmapped vertex — an incomplete map degrades pruning,
+        # never correctness (distances stay identical to bfs_layers)
+        out["p_src"] = out["src"].map(m).fillna(k).astype("int64")
         return out
 
     lab = edges.map_batches(annotate, batch_format="pandas") \
-        .repartition(max(k, 8)).materialize()
+        .repartition(max(k + 1, 8)).materialize()
     parts = []
     part_rows = []
-    for p in range(k):
+    for p in range(k + 1):
         dsp = lab.filter(expr=f"p_src == {p}").materialize()
         parts.append(dsp)
         part_rows.append(dsp.count())
@@ -442,7 +446,7 @@ def bfs_partition_pruned(edges, pmap: pd.DataFrame, source, *,
     scanned = 0
     rounds = 0
     for depth in range(1, max_depth + 1):
-        touch = sorted({vmap.get(v, -1) for v in frontier} - {-1})
+        touch = sorted({vmap.get(v, k) for v in frontier})
         if not touch:
             break
         rounds += 1

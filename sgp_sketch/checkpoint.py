@@ -161,6 +161,14 @@ def run_checkpointed(
             }
             _store_manifest(ckpt_dir, manifest)
 
+    # the base build is complete once the full input streamed through:
+    # every partition that can ever produce base rows is now checkpointed
+    # (missing pids simply received no sources). append_increment refuses
+    # to fold onto a base that never reached this point.
+    if not manifest.get("base_complete"):
+        manifest["base_complete"] = True
+        _store_manifest(ckpt_dir, manifest)
+
     # final merge: checkpointed + fresh (tiny, driver-side)
     acc: dict[tuple, list] = {}
     for row in checkpointed_rows + fresh_rows:
@@ -212,7 +220,16 @@ def append_increment(
       over base+increment (elementwise max / add / or are order-free);
       KLL/t-digest stay within their rank-error bounds (their compaction
       is order-sensitive by design).
+
+    RETRY-SAFE: every increment carries a deterministic id (hash of its
+    input files + per-source loads). Each partition fold records that id
+    in its manifest entry and is skipped on retry if already folded; the
+    plan.json load-accounting write happens only AFTER all folds complete
+    and itself records applied ids — so re-running a crashed or duplicate
+    append never double-counts CMS/stats/count state or plan loads.
     """
+    import hashlib
+
     import ray
 
     specs = specs if specs is not None else DEFAULT_SPECS
@@ -229,6 +246,15 @@ def append_increment(
     loads = np.asarray(stored["partition_loads"], dtype=np.int64)
     source_loads = {s: int(v) for s, v in stored["source_loads"].items()}
 
+    manifest = _load_manifest(ckpt_dir)
+    if not manifest.get("base_complete"):
+        # appending onto a partial base would create increment-only
+        # partition entries that a later resume mistakes for completed
+        # BASE partitions, silently dropping their base rows
+        raise ValueError(
+            f"{ckpt_dir} base build is incomplete (manifest lacks "
+            "base_complete) — finish run_checkpointed before appending")
+
     # increment per-source loads (combiner pass, driver fold — tiny)
     def partial_loads(t: pa.Table) -> pa.Table:
         g = t.group_by("source").aggregate([("n_tok", "sum")])
@@ -241,11 +267,18 @@ def append_increment(
         for s, l in zip(bt["source"].to_pylist(), bt["load"].to_pylist()):
             inc_loads[s] = inc_loads.get(s, 0) + int(l)
 
-    # extend the plan: new sources -> least-loaded partitions (greedy,
-    # heaviest first — the LDG-style balance rule). A new MONSTER source
-    # (load above the mean partition load) SALTS across ceil(load/mean)
-    # partitions, same policy as the initial salted plan — sound because
-    # sketches merge; without it one increment could hotspot a partition.
+    # deterministic increment identity: same files + same per-source
+    # loads -> same id, so a crashed retry folds each partition once
+    inc_id = hashlib.md5(json.dumps(
+        {"files": sorted(input_files or []),
+         "loads": sorted(inc_loads.items())}).encode()).hexdigest()[:16]
+
+    # extend the plan IN MEMORY: new sources -> least-loaded partitions
+    # (greedy, heaviest first — the LDG-style balance rule). A new MONSTER
+    # source (load above the mean partition load) SALTS across
+    # ceil(load/mean) partitions, same policy as the initial salted plan —
+    # sound because sketches merge; without it one increment could hotspot
+    # a partition. The plan WRITE is deferred until all folds land.
     new_sources = sorted((s for s in inc_loads if s not in amap),
                          key=lambda s: (-inc_loads[s], s))
     for s in new_sources:
@@ -265,13 +298,6 @@ def append_increment(
         # the first assigned pid (salted sources split inside the updater)
         loads[int(amap[s][0])] += l
         source_loads[s] = source_loads.get(s, 0) + l
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"k": k,
-                   "amap": {s: [int(x) for x in p] for s, p in amap.items()},
-                   "partition_loads": [int(x) for x in loads],
-                   "source_loads": source_loads}, f)
-    os.replace(tmp, path)
 
     # updater over the increment only
     from .pipeline import make_updater_fn
@@ -283,12 +309,18 @@ def append_increment(
     fresh = partials.groupby("partition_id").map_groups(
         merge_partial_group, batch_format="pyarrow").take_all()
 
-    manifest = _load_manifest(ckpt_dir)
     by_pid: dict[int, list[dict]] = {}
     for row in fresh:
         by_pid.setdefault(int(row["partition_id"]), []).append(row)
 
+    skipped_pids = []
     for pid, rows in sorted(by_pid.items()):
+        ent = manifest["partitions"].get(str(pid), {
+            "n_rows": 0, "n_tokens": 0, "n_scopes": 0, "input_files": []})
+        if any(inc.get("id") == inc_id
+               for inc in ent.get("increments", [])):
+            skipped_pids.append(pid)  # already folded by a crashed attempt
+            continue
         pdir = _part_dir(ckpt_dir, pid)
         base_path = os.path.join(pdir, "sketches.parquet")
         acc: dict[tuple, list] = {}
@@ -316,18 +348,36 @@ def append_increment(
         wtmp = os.path.join(pdir, ".sketches.parquet.tmp")
         pq.write_table(table, wtmp)
         os.replace(wtmp, base_path)
-        ent = manifest["partitions"].get(str(pid), {
-            "n_rows": 0, "n_tokens": 0, "n_scopes": 0, "input_files": []})
         ent["n_rows"] += int(sum(r["n_rows"] for r in rows
                                  if r["scope"] == SCOPE_GLOBAL))
         ent["n_tokens"] += int(sum(r["n_tokens"] for r in rows
                                    if r["scope"] == SCOPE_GLOBAL))
-        ent["n_scopes"] = len(acc)
+        # distinct SCOPES, matching run_checkpointed's definition (acc is
+        # keyed by (scope, kind) pairs)
+        ent["n_scopes"] = len({sc for (sc, _kd) in acc})
         ent.setdefault("increments", []).append({
+            "id": inc_id,
             "input_files": input_files or [],
             "appended_at_sec": round(time.perf_counter() - t0, 3)})
         manifest["partitions"][str(pid)] = ent
         _store_manifest(ckpt_dir, manifest)
+
+    # plan load-accounting publishes LAST, and only once per increment:
+    # a crash anywhere above leaves the stored plan untouched, so the
+    # retry recomputes the identical extension (greedy over the same
+    # stored loads) and the already-folded partitions are skipped by id
+    if inc_id not in stored.get("applied_increments", []):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"k": k,
+                       "amap": {s: [int(x) for x in p]
+                                for s, p in amap.items()},
+                       "partition_loads": [int(x) for x in loads],
+                       "source_loads": source_loads,
+                       "applied_increments":
+                           stored.get("applied_increments", []) + [inc_id]},
+                      f)
+        os.replace(tmp, path)
 
     # final merge over ALL checkpointed partitions
     acc2: dict[tuple, list] = {}
@@ -348,7 +398,10 @@ def append_increment(
                 slot[2] += row["n_tokens"]
     sketches = {key: v[0] for key, v in acc2.items()}
     counts = {key: (v[1], v[2]) for key, v in acc2.items()}
-    metrics = {"k": k, "incremented_partitions": sorted(by_pid),
+    metrics = {"k": k,
+               "incremented_partitions": sorted(set(by_pid) - set(skipped_pids)),
+               "skipped_partitions": skipped_pids,
+               "increment_id": inc_id,
                "new_sources": len(new_sources),
                "total_sec": time.perf_counter() - t0}
     gkey = (SCOPE_GLOBAL, specs[0].kind)

@@ -149,16 +149,12 @@ def cmd_curate(args) -> int:
     import hashlib
 
     import numpy as np
-    import ray
     import ray.data as rd
 
-    from .queries import dedup_clusters
+    from .queries import curation_keep_rows, dedup_clusters
     from .text import quality_features
 
     clusters = dedup_clusters(args.input)
-    drop = np.sort(clusters.loc[
-        clusters["doc_id"] != clusters["canonical_id"], "doc_id"].to_numpy())
-    dref = ray.put(drop)
     min_q6 = args.min_quality_e6
 
     def _filt(b):
@@ -166,13 +162,13 @@ def cmd_curate(args) -> int:
         first = np.array([hashlib.md5(t.encode("utf-8")).hexdigest()[0]
                           for t in b["text"]])
         keep = ((qf["quality_e6"].to_numpy() >= min_q6)
-                & ~np.isin(first, ("0", "1"))
-                & ~np.isin(b["doc_id"].to_numpy(), ray.get(dref)))
+                & ~np.isin(first, ("0", "1")))
         return b.loc[keep]
 
     ds = rd.read_parquet(f"{args.input}/documents.parquet")
-    ds.map_batches(_filt, batch_format="pandas") \
-        .write_parquet(args.output, partition_cols=["source"])
+    kept = curation_keep_rows(ds.map_batches(_filt, batch_format="pandas"),
+                              clusters)
+    kept.write_parquet(args.output, partition_cols=["source"])
 
     import pyarrow.dataset as pds
 

@@ -177,8 +177,11 @@ def asof_join(left, right, *, on: str, by: str, right_on: str | None = None,
     the max ``tiebreak`` wins. (SQL ASOF JOIN is tie-nondeterministic;
     oracle parity requires pre-deduplicating the right side the same way.)
     Both sides must have disjoint column names, and integer columns must be
-    non-null (the kernel restores Arrow int dtypes after the tagged union,
-    which a null would break — pre-fill or cast nullable ints upstream).
+    non-null IN THE INPUT (a null int column converts through float64 in
+    pandas — pre-fill or cast nullable ints upstream). The tagged union's
+    own null-padding never reaches pandas: each side's columns are sliced
+    from the Arrow group BEFORE conversion, so int64 values of any
+    magnitude (including > 2**53) survive exactly.
     """
     r_on = right_on or on
     r_by = right_by or by
@@ -222,24 +225,48 @@ def asof_join(left, right, *, on: str, by: str, right_on: str | None = None,
                                  batch_format="pyarrow"))
     out_dtypes = {**l_dtypes, **r_dtypes}
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["__side"] == 0, l_names]
-        r = g.loc[g["__side"] == 1, r_names]
+    _NULLABLE = {"int8": "Int8", "int16": "Int16", "int32": "Int32",
+                 "int64": "Int64", "uint8": "UInt8", "uint16": "UInt16",
+                 "uint32": "UInt32", "uint64": "UInt64"}
+
+    def _merge(g: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        side = g["__side"]
+        # slice each side's OWN columns from the Arrow table before any
+        # pandas conversion: the other side's null padding (which would
+        # widen int64 -> float64 and corrupt values > 2**53) never makes
+        # it into a pandas frame
+        l = g.filter(pc.equal(side, 0)).select(l_names).to_pandas()
+        r = g.filter(pc.equal(side, 1)).select(r_names).to_pandas()
         if l.empty or r.empty:
             return pd.DataFrame(
                 {c: pd.Series([], dtype=d) for c, d in out_dtypes.items()})
-        l = l.astype(l_dtypes).sort_values(on, kind="mergesort")
-        r = r.astype(r_dtypes)
+        l = l.sort_values(on, kind="mergesort")
         if tiebreak is not None:
             r = r.sort_values([r_by, r_on, tiebreak], kind="mergesort") \
                  .drop_duplicates([r_by, r_on], keep="last")
         r = r.sort_values(r_on, kind="mergesort")
+        # unmatched left rows take NaN in right-side columns inside
+        # merge_asof, which would widen int columns through float64: carry
+        # right ints as pandas NULLABLE ints (exact at any magnitude) and
+        # keep an exact nullable copy of the right key for match filtering
+        for c in r.columns:
+            nc = _NULLABLE.get(str(r[c].dtype))
+            if nc and c not in (r_on, r_by):
+                r[c] = r[c].astype(nc)
+        r["__r_key"] = r[r_on].astype(
+            _NULLABLE.get(str(r[r_on].dtype), r[r_on].dtype))
         out = pd.merge_asof(l, r, left_on=on, right_on=r_on,
                             left_by=by, right_by=r_by, direction="backward")
-        out = out.dropna(subset=[r_on])
+        out = out[out["__r_key"].notna()]
+        out[r_on] = out["__r_key"]  # exact values, no float64 passage
+        out[r_by] = out[by]  # matched rows have equal keys; left is exact
+        out = out.drop(columns=["__r_key"])
         return out.astype(out_dtypes)
 
-    return tagged.groupby("__bucket").map_groups(_merge, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(_merge,
+                                                 batch_format="pyarrow")
 
 
 def interval_join(left, right, *, key: str, left_t: str, right_key: str,

@@ -1406,25 +1406,96 @@ ROWS_ONLY_QUERIES["embedding_kmeans"] = embedding_kmeans
 
 _CURATION_Q6 = 600_000
 
+# drop sets below this ship as one exact sorted int array; above it, a
+# blocked Bloom (the repo's own sketch) broadcasts instead (~1.3 MB at
+# 2^14 blocks vs 8 B/id) with an exact keyed-join confirmation pass
+_DROP_EXACT_MAX = 2_000_000
+
+
+def curation_keep_rows(rows, clusters, *, id_col: str = "doc_id",
+                       exact_max: int = _DROP_EXACT_MAX,
+                       bloom_blocks: int = 1 << 14):
+    """EXACTLY remove non-canonical cluster members from ``rows``.
+
+    The drop set (one id per duplicate doc) is vertex-scale. Below
+    ``exact_max`` ids it broadcasts as a sorted int array (``np.isin`` in
+    the filter — optimal at oracle scale). Above, it broadcasts as a
+    blocked BLOOM built from the repo's own sketch library: bloom-NEGATIVE
+    rows keep directly (a Bloom has no false negatives), bloom-POSITIVE
+    rows are confirmed by one keyed hash anti-join against the drop-id
+    Dataset — a false positive costs join traffic only, never a wrong
+    drop, so the kept set is exact on either path.
+    """
+    import ray
+    import ray.data as rd
+
+    from .sketches.bloom import BlockedBloomFilter
+
+    drop_ds = clusters.map_batches(
+        lambda b: pd.DataFrame({"__drop_id": b[id_col][
+            b[id_col] != b["canonical_id"]].astype("int64")}),
+        batch_format="pandas").materialize()
+    n_drop = drop_ds.count()
+
+    if n_drop <= exact_max:
+        parts = [b["__drop_id"].to_numpy()
+                 for b in drop_ds.iter_batches(batch_format="pandas")]
+        drop = np.sort(np.concatenate(parts)) if parts \
+            else np.empty(0, np.int64)
+        dref = ray.put(drop)
+
+        def _keep(b: pd.DataFrame) -> pd.DataFrame:
+            return b.loc[~np.isin(b[id_col].to_numpy(), ray.get(dref))]
+
+        return rows.map_batches(_keep, batch_format="pandas")
+
+    # Bloom scale path: fold id blocks into one filter (driver fold over
+    # KB-scale blocks), broadcast its bytes once
+    bloom = BlockedBloomFilter(n_blocks=bloom_blocks)
+    for b in drop_ds.iter_batches(batch_format="pandas"):
+        bloom.add(b["__drop_id"].to_numpy())
+    bref = ray.put(bloom.to_bytes())
+
+    def _flag(b: pd.DataFrame) -> pd.DataFrame:
+        from .sketches import sketch_from_bytes
+
+        bl = sketch_from_bytes(ray.get(bref))  # frombuffer: near-zero cost
+        out = b.copy()
+        out["__pos"] = bl.contains(out[id_col].to_numpy())
+        return out
+
+    # materialize the flagged rows once: the negative/positive branches
+    # below would otherwise re-execute the upstream lineage per consumer
+    flagged = rows.map_batches(_flag, batch_format="pandas").materialize()
+    negatives = flagged.filter(expr="__pos == False") \
+        .drop_columns(["__pos"])
+    positives = flagged.filter(expr="__pos == True").drop_columns(["__pos"])
+
+    marked = drop_ds.map_batches(
+        lambda b: b.assign(__hit=np.int8(1)), batch_format="pandas")
+    joined = positives.join(marked, join_type="left_outer",
+                            num_partitions=8, on=(id_col,),
+                            right_on=("__drop_id",))
+    survivors = joined.map_batches(
+        lambda b: b.loc[b["__hit"].isna()]
+        .drop(columns=["__hit", "__drop_id"], errors="ignore"),
+        batch_format="pandas")
+    return negatives.union(survivors)
+
 
 def corpus_curation(sf_dir: str):
     """END-TO-END CURATION: the composed filter chain a training corpus
     actually ships through — quality score >= threshold, deterministic
     md5 train split, and near-dup cluster resolution (only each cluster's
     canonical doc survives) — counted per source. One streamed pass over
-    the documents; the non-canonical drop set is vertex-scale and
-    broadcasts once."""
+    the documents; the non-canonical drop set broadcasts as an exact int
+    array at oracle scale and as a Bloom + exact confirm join past 2M
+    drops (``curation_keep_rows``)."""
     import hashlib
-
-    import ray
 
     from .text import quality_features
 
     clusters = dedup_clusters(sf_dir)
-    drop = np.sort(clusters.loc[
-        clusters["doc_id"] != clusters["canonical_id"], "doc_id"].to_numpy())
-    dref = ray.put(drop)
-
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
 
     def _filt(b: pd.DataFrame) -> pd.DataFrame:
@@ -1432,13 +1503,16 @@ def corpus_curation(sf_dir: str):
         q6 = qf["quality_e6"].to_numpy()
         first = np.array([hashlib.md5(t.encode("utf-8")).hexdigest()[0]
                           for t in b["text"]])
-        keep = ((q6 >= _CURATION_Q6)
-                & ~np.isin(first, ("0", "1"))
-                & ~np.isin(b["doc_id"].to_numpy(), ray.get(dref)))
-        return b.loc[keep].groupby("source").size().rename("n_docs") \
-            .reset_index()
+        keep = (q6 >= _CURATION_Q6) & ~np.isin(first, ("0", "1"))
+        return b.loc[keep, ["doc_id", "source"]]
 
-    return ds.map_batches(_filt, batch_format="pandas") \
+    kept = curation_keep_rows(
+        ds.map_batches(_filt, batch_format="pandas"), clusters)
+
+    def _count(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source").size().rename("n_docs").reset_index()
+
+    return kept.map_batches(_count, batch_format="pandas") \
         .groupby("source").sum("n_docs") \
         .map_batches(lambda b: b.rename(columns={"sum(n_docs)": "n_docs"}),
                      batch_format="pandas")

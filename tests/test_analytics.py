@@ -316,6 +316,36 @@ def test_curate_cli_writes_oracle_matched_partitions(sf_small, tmp_path):
     assert len(parts) > 1  # hive-partitioned by source
 
 
+def test_curation_bloom_drop_path_matches_exact():
+    """Forcing the Bloom drop-set path (exact_max=0) with a deliberately
+    tiny filter (high FPR -> many confirm-join positives) must keep
+    exactly the same rows as the exact broadcast path."""
+    import ray.data as rd
+
+    from sgp_sketch.queries import curation_keep_rows
+
+    rng = np.random.default_rng(11)
+    ids = np.arange(2000, dtype="int64")
+    rows = pd.DataFrame({"doc_id": ids,
+                         "source": [f"s{i % 7}" for i in ids]})
+    # ~300 duplicate docs pointing at canonical ids
+    dup = rng.choice(ids, size=300, replace=False)
+    clusters = pd.DataFrame({
+        "doc_id": ids,
+        "canonical_id": np.where(np.isin(ids, dup), 0, ids).astype("int64"),
+    })
+    exact = curation_keep_rows(rd.from_pandas(rows),
+                               rd.from_pandas(clusters)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    bloomed = curation_keep_rows(rd.from_pandas(rows),
+                                 rd.from_pandas(clusters),
+                                 exact_max=0, bloom_blocks=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, bloomed[exact.columns])
+    kept = set(exact["doc_id"])
+    assert kept == set(ids.tolist()) - (set(dup.tolist()) - {0})
+
+
 def test_asof_join_random_vs_pandas_reference():
     from sgp_sketch.ops import asof_join
 

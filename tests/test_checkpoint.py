@@ -250,3 +250,47 @@ class TestIncrement:
             plan = _json.load(f)
         assert len(plan["amap"]["monster"]) > 1  # salted across partitions
         assert res.metrics["n_rows"] == base.metrics["n_rows"] + rows
+
+    def test_duplicate_append_is_idempotent(self, sf_small, tmp_path):
+        """Retrying an already-applied increment must not double-count
+        CMS/stats/count state or plan loads (crash-retry contract)."""
+        import json as _json
+
+        from sgp_sketch.checkpoint import append_increment, run_checkpointed
+
+        base, inc = self._halves(sf_small)
+        ckpt = str(tmp_path / "idem_ckpt")
+        run_checkpointed(base, ckpt, k=4, batch_size=100)
+        first = append_increment(inc, ckpt, batch_size=100,
+                                 input_files=["inc-0"])
+        with open(f"{ckpt}/plan.json") as f:
+            plan1 = _json.load(f)
+        again = append_increment(inc, ckpt, batch_size=100,
+                                 input_files=["inc-0"])
+        with open(f"{ckpt}/plan.json") as f:
+            plan2 = _json.load(f)
+        # every partition skipped, counts unchanged, plan loads unchanged
+        assert again.metrics["incremented_partitions"] == []
+        assert set(again.metrics["skipped_partitions"]) \
+            == set(first.metrics["incremented_partitions"])
+        assert again.metrics["n_rows"] == first.metrics["n_rows"]
+        assert again.metrics["n_tokens"] == first.metrics["n_tokens"]
+        assert again.get("hll").estimate() == first.get("hll").estimate()
+        assert plan2["partition_loads"] == plan1["partition_loads"]
+        assert plan2["applied_increments"] == plan1["applied_increments"]
+
+    def test_append_requires_complete_base(self, sf_small, tmp_path):
+        import pytest
+
+        from sgp_sketch.checkpoint import (_store_manifest, _load_manifest,
+                                           append_increment,
+                                           run_checkpointed)
+
+        base, inc = self._halves(sf_small)
+        ckpt = str(tmp_path / "partial_ckpt")
+        run_checkpointed(base, ckpt, k=4, batch_size=100)
+        man = _load_manifest(ckpt)
+        man.pop("base_complete", None)  # simulate a crashed base build
+        _store_manifest(ckpt, man)
+        with pytest.raises(ValueError, match="base build is incomplete"):
+            append_increment(inc, ckpt, batch_size=100)

@@ -154,6 +154,23 @@ class TestHDRF:
         # next edge shares 'a' -> strong replication pull to p1
         assert h.assign_edge("a", "c") == p1
 
+    def test_seeded_stream_deterministic(self):
+        rng = np.random.default_rng(7)
+        src = (rng.zipf(1.5, 3000) % 200).tolist()
+        dst = rng.integers(0, 200, 3000).tolist()
+        a = HDRFEdgePartitioner(k=8, seed=42).assign_edges(src, dst)
+        b = HDRFEdgePartitioner(k=8, seed=42).assign_edges(src, dst)
+        assert np.array_equal(a, b)
+        c = HDRFEdgePartitioner(k=8, seed=43).assign_edges(src, dst)
+        assert not np.array_equal(a, c)  # ties exist and follow the seed
+
+    def test_self_loop_single_replica_growth(self):
+        h = HDRFEdgePartitioner(k=4, seed=0)
+        p = h.assign_edge("x", "x")
+        assert h.replicas["x"].bit_count() == 1
+        assert h.degree["x"] == 2
+        assert h.sizes[p] == 1.0
+
 
 class TestLoadModeAssigner:
     def test_skewed_sources_balanced(self):
