@@ -1941,3 +1941,105 @@ FROM documents GROUP BY source
 
 EXACT_QUERIES["ntok_stats_per_source"] = (ntok_stats_per_source,
                                           NTOK_STATS_SQL)
+
+
+def snb_style_graph_stats(sf_dir: str):
+    """SNB-STYLE PROPERTY-GRAPH COMPOSITION over the relational testdata:
+    five entity-prefixed edge tables (customer-placed-order,
+    order-contains-part, order-suppliedBy-supplier, customer/supplier
+    -locatedIn-nation) union into one labeled edge Dataset and build the
+    out x in full-outer-aligned adjacency (snb.snb_to_labeled_adjacency —
+    the csv-converter.scala:170-207 shape). Per edge label the query
+    reports edge count and distinct source/target vertex counts COMPUTED
+    FROM THE ADJACENCY (out tokens for n_edges/n_src, in tokens for
+    n_dst), so the alignment itself is what DuckDB hash-checks."""
+    from .snb import SNB_LABELED_EDGE_SCHEMA, snb_to_labeled_adjacency
+
+    def _edges(table: str, cols: list, src_ent: str, dst_ent: str,
+               elabel: str):
+        ds = _read(sf_dir, table, cols)
+
+        def f(t: pa.Table) -> pa.Table:
+            src = pc.binary_join_element_wise(
+                pa.array([src_ent] * len(t)),
+                pc.cast(t[cols[0]], pa.string()), ":")
+            dst = pc.binary_join_element_wise(
+                pa.array([dst_ent] * len(t)),
+                pc.cast(t[cols[1]], pa.string()), ":")
+            return pa.Table.from_arrays(
+                [src, dst, pa.array([elabel] * len(t), pa.string()),
+                 pa.array(np.zeros(len(t), dtype=np.int64))],
+                schema=SNB_LABELED_EDGE_SCHEMA)
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    edges = _edges("orders", ["o_custkey", "o_orderkey"],
+                   "customer", "order", "placed") \
+        .union(_edges("lineitem", ["l_orderkey", "l_partkey"],
+                      "order", "part", "contains")) \
+        .union(_edges("lineitem", ["l_orderkey", "l_suppkey"],
+                      "order", "supplier", "suppliedBy")) \
+        .union(_edges("customer", ["c_custkey", "c_nationkey"],
+                      "customer", "nation", "locatedIn")) \
+        .union(_edges("supplier", ["s_suppkey", "s_nationkey"],
+                      "supplier", "nation", "locatedIn"))
+    adj = snb_to_labeled_adjacency(edges)
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        # one adjacency row per vertex GLOBALLY, so per-batch distinct
+        # (label, vertex) partials sum exactly across batches
+        frames = []
+        for col, kind in (("out_neighbors", "src"), ("in_neighbors",
+                                                     "dst")):
+            nb = t[col]
+            if isinstance(nb, pa.ChunkedArray):
+                nb = nb.combine_chunks()
+            lens = nb.value_lengths().to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            flat = nb.flatten()
+            lab = pc.list_element(pc.split_pattern(flat, ","), 0) \
+                .to_pandas()
+            row = np.repeat(np.arange(len(t)), lens)
+            df = pd.DataFrame({"elabel": lab, "row": row})
+            cnt = df.groupby("elabel").agg(
+                n=("row", "size"), d=("row", "nunique")).reset_index()
+            frames.append(pd.DataFrame({
+                "elabel": cnt["elabel"],
+                "n_edges": cnt["n"] if kind == "src" else 0,
+                "n_src": cnt["d"] if kind == "src" else 0,
+                "n_dst": cnt["d"] if kind == "dst" else 0,
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    out = adj.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("elabel").sum(["n_edges", "n_src", "n_dst"]) \
+        .to_pandas()
+    out = out.rename(columns={"sum(n_edges)": "n_edges",
+                              "sum(n_src)": "n_src",
+                              "sum(n_dst)": "n_dst"})
+    for c in ("n_edges", "n_src", "n_dst"):
+        out[c] = out[c].astype("int64")
+    return out[["elabel", "n_edges", "n_src", "n_dst"]]
+
+
+SNB_STYLE_SQL = """
+WITH e AS (
+  SELECT 'placed' AS elabel, 'customer:' || o_custkey AS src,
+         'order:' || o_orderkey AS dst FROM orders
+  UNION ALL SELECT 'contains', 'order:' || l_orderkey,
+         'part:' || l_partkey FROM lineitem
+  UNION ALL SELECT 'suppliedBy', 'order:' || l_orderkey,
+         'supplier:' || l_suppkey FROM lineitem
+  UNION ALL SELECT 'locatedIn', 'customer:' || c_custkey,
+         'nation:' || c_nationkey FROM customer
+  UNION ALL SELECT 'locatedIn', 'supplier:' || s_suppkey,
+         'nation:' || s_nationkey FROM supplier
+)
+SELECT elabel, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+       CAST(count(DISTINCT dst) AS BIGINT) AS n_dst
+FROM e GROUP BY elabel
+"""
+
+EXACT_QUERIES["snb_style_graph_stats"] = (snb_style_graph_stats,
+                                          SNB_STYLE_SQL)

@@ -331,7 +331,11 @@ def read_snb_edge_csv(path: str, *, src_entity: str, dst_entity: str,
         if len(cols) > 2:
             ts_col = batch[cols[2]]
             if pa.types.is_timestamp(ts_col.type):
-                ts = pc.cast(ts_col, pa.int64())  # epoch micros -> keep int
+                # CSV inference may pick ns/us units — normalize to the
+                # reference's epoch MILLIS (creationDateFormat.getTime())
+                ts = pc.cast(pc.cast(ts_col, pa.timestamp("ms", tz="UTC")
+                                     if ts_col.type.tz else
+                                     pa.timestamp("ms")), pa.int64())
             elif pa.types.is_string(ts_col.type):
                 parsed = pc.strptime(ts_col, format="%Y-%m-%dT%H:%M:%S.%f%z",
                                      unit="ms")

@@ -121,3 +121,106 @@ class TestSNBSource:
         assert und.count() == 4
         adj = {r["vertex"]: r["neighbors"] for r in snap_to_adjacency(und).take_all()}
         assert adj["person:2"] == ["person:1", "person:3"]
+
+
+class TestSNBPropertyGraph:
+    """SNB ingestion round trip: pipe CSVs -> labeled adjacency ->
+    partition -> M2 label filtering (csv-converter.scala:81-210,
+    SNBParser.groovy:88-302 semantics)."""
+
+    @pytest.fixture()
+    def snb_dir(self, tmp_path):
+        d = tmp_path / "snb"
+        d.mkdir()
+        (d / "person_knows_person_0_0.csv").write_text(
+            "Person.id|Person.id.1|creationDate\n"
+            "1|2|2012-01-02T03:04:05.678+0000\n"
+            "2|3|2012-02-02T03:04:05.678+0000\n")
+        (d / "person_hasInterest_tag_0_0.csv").write_text(
+            "Person.id|Tag.id\n1|10\n3|11\n")
+        (d / "tag_hasType_tagclass_0_0.csv").write_text(
+            "Tag.id|TagClass.id\n10|100\n11|100\n")
+        (d / "person_0_0.csv").write_text(
+            "id|firstName|lastName|birthday|creationDate\n"
+            "1|Alice|A|1980-05-01|2012-01-01T00:00:00.000+0000\n"
+            "2|Bob|B|1985-06-02|2012-01-02T00:00:00.000+0000\n"
+            "3|Carol|C|1990-07-03|2012-01-03T00:00:00.000+0000\n")
+        (d / "tag_0_0.csv").write_text("id|name\n10|rock\n11|jazz\n")
+        (d / "person_email_emailaddress_0_0.csv").write_text(
+            "Person.id|email\n1|a@x.com\n1|a@y.com\n2|b@x.com\n")
+        return str(d)
+
+    def test_discovery_classifies_tables(self, snb_dir):
+        from sgp_sketch.snb import discover_snb_dir
+
+        edges, verts = discover_snb_dir(snb_dir)
+        assert {(e["src"], e["elabel"], e["dst"]) for e in edges} == {
+            ("person", "knows", "person"),
+            ("person", "hasInterest", "tag"),
+            ("tag", "hasType", "tagclass")}
+        assert {v["entity"] for v in verts} == {"person", "tag"}
+        # the list-property sidecar is NOT an edge table
+        assert all(e["elabel"] != "email" for e in edges)
+
+    def test_union_and_full_outer_alignment(self, snb_dir):
+        from sgp_sketch.snb import load_snb_graph
+
+        g = load_snb_graph(snb_dir)
+        adj = {r["vertex"]: r
+               for r in g["adjacency"].take_all()}
+        # epoch millis on the knows edge token
+        assert "knows,person:2,1325473445678" \
+            in adj["person:1"]["out_neighbors"]
+        assert adj["person:1"]["degree"] == 2
+        # full outer: tagclass:100 has in-edges only but still gets a row
+        assert adj["tagclass:100"]["degree"] == 0
+        assert sorted(adj["tagclass:100"]["in_neighbors"]) == [
+            "hasType,tag:10", "hasType,tag:11"]
+        # in-edge carries the source vertex
+        assert adj["person:2"]["in_neighbors"] == [
+            "knows,person:1,1325473445678"]
+
+    def test_vertex_properties_typed(self, snb_dir):
+        from sgp_sketch.snb import load_snb_graph, load_snb_list_property
+
+        g = load_snb_graph(snb_dir)
+        person = {r["iid"]: r for r in g["vertices"]["person"].take_all()}
+        alice = person["person:1"]
+        assert alice["iid_long"] == 1 and alice["label"] == "person"
+        assert alice["firstName"] == "Alice"
+        assert alice["birthday"] == 325987200000  # 1980-05-01 UTC millis
+        assert alice["creationDate"] == 1325376000000
+        emails = {r["iid"]: sorted(r["email"]) for r in
+                  load_snb_list_property(
+                      f"{snb_dir}/person_email_emailaddress_0_0.csv",
+                      "person", "email").take_all()}
+        assert emails == {"person:1": ["a@x.com", "a@y.com"],
+                          "person:2": ["b@x.com"]}
+
+    def test_roundtrip_parse_filter_partition(self, snb_dir, tmp_path):
+        import ray.data as rd
+
+        from sgp_sketch.snb import adjacency_text_lines, load_snb_graph
+        from sgp_sketch.sources import (parse_adjacency_batch,
+                                        partition_graph_stream)
+
+        g = load_snb_graph(snb_dir)
+        lines = sorted(
+            r["text"] for r in adjacency_text_lines(g["adjacency"])
+            .take_all())
+        path = tmp_path / "snb_adj.txt"
+        path.write_text("\n".join(lines) + "\n")
+        # M2 label filter: knows-only adjacency keeps person targets only
+        parsed = rd.read_text(str(path)).map_batches(
+            lambda t: parse_adjacency_batch(t, labeled=True,
+                                            edge_labels={"knows"}),
+            batch_format="pyarrow")
+        adj = {r["vertex"]: list(r["neighbors"]) for r in parsed.take_all()}
+        assert adj["person:1"] == ["person:2"]
+        assert adj["person:2"] == ["person:3"]
+        assert adj["tag:10"] == []
+        # T1 partitioner consumes the parsed stream directly
+        pm, metrics = partition_graph_stream(parsed, 2, "ldg",
+                                             total_vertices=len(adj))
+        assert set(pm["vertex"]) == set(adj)
+        assert metrics["num_items"] == len(adj)
