@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "events_last_order_asof",
     "purchase_follow_window",
-    "pagerank_event_graph",
+    "partition_workload_sweep",
 ]
 
 
@@ -234,9 +234,32 @@ def run_scaling() -> dict:
     }
 
 
+def run_concurrent() -> dict:
+    """Concurrent query-workload section (ldbc_run.py:25-26,72-111
+    analogue): qps / latency / per-shard load at 12 and 24 clients for
+    hash vs fennel partitionings of the user-event graph at sf0.1."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from sgp_sketch.serving import concurrent_query_bench
+
+    res = concurrent_query_bench(SF_DIR, algorithms=("hash", "fennel"),
+                                 client_levels=(12, 24))
+    ray.shutdown()
+    return {"metric": "concurrent_query_qps", "unit": "qps",
+            "sf": SF_DIR, "num_cpus": NUM_CPUS, "levels": res}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--concurrent" in sys.argv:
+        print(json.dumps(run_concurrent()))
     else:
         if os.environ.get("SGP_BENCH_SKIP_QUERIES"):
             BENCH_QUERIES = []

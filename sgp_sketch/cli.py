@@ -186,7 +186,7 @@ def load_config(path: str) -> dict:
     import json as _json
 
     allowed = {"input", "k", "batch_size", "checkpoint_dir", "no_plan",
-               "output", "metrics", "algorithms", "partitions"}
+               "output", "metrics", "algorithms", "partitions", "workloads"}
     with open(path) as f:
         cfg = _json.load(f)
     unknown = set(cfg) - allowed
@@ -195,9 +195,70 @@ def load_config(path: str) -> dict:
     return cfg
 
 
+def _graph_workload_sweep(cfg, algorithms, partitions, workloads) -> list:
+    """The reference's full analytics sweep (run_experiments.py:122-157 +
+    twitter.json:11-46): every (algorithm x cluster size) cell partitions
+    the graph, then runs each workload OVER that partitioning and records
+    wall time + result size alongside the partition-quality metrics."""
+    import itertools
+    import time as _time
+
+    from .analytics import (bfs_partition_pruned, connected_components,
+                            pagerank, sssp_distances,
+                            two_hop_cross_partition)
+    from .queries import _event_graph_edges
+    from .sources import partition_graph_stream, snap_to_adjacency
+
+    edges = _event_graph_edges(cfg["input"])
+    adj = snap_to_adjacency(edges).materialize()
+    results = []
+    for algo, k in itertools.product(algorithms, partitions):
+        pm, met = partition_graph_stream(adj, k=k, algorithm=algo)
+        rec = {
+            "algorithm": algo,
+            "k": k,
+            "edge_cut_ratio": round(met["edge_cut_ratio"], 6),
+            "imbalance": round(met["imbalance"], 6),
+            "workloads": {},
+        }
+        th = two_hop_cross_partition(edges, pm)
+        rec["crossing_fraction"] = round(th["crossing_fraction"], 6)
+        for wl in workloads:
+            t0 = _time.perf_counter()
+            if wl == "pagerank":
+                out = pagerank(edges, iterations=20)  # twitter.json:36
+                n = len(out)
+            elif wl == "sssp":
+                out = sssp_distances(edges, "u0")
+                n = len(out)
+            elif wl == "connectedcomponents":
+                out = connected_components(edges)
+                n = int(out["component"].nunique())
+            elif wl == "bfs_pruned":
+                dist, frac = bfs_partition_pruned(edges, pm, "u0",
+                                                  max_depth=6)
+                n = len(dist)
+                rec["workloads"][wl] = {
+                    "wall_sec": round(_time.perf_counter() - t0, 3),
+                    "n_rows": n,
+                    "scan_fraction": round(frac, 6)}
+                continue
+            else:
+                raise ValueError(f"unknown workload {wl!r}")
+            rec["workloads"][wl] = {
+                "wall_sec": round(_time.perf_counter() - t0, 3),
+                "n_rows": n}
+        results.append(rec)
+    return results
+
+
 def cmd_experiment(args) -> int:
     """Config-driven cross-product runs (run_experiments.py:122-149 shape):
-    algorithms x partition counts over one input, metrics per run."""
+    algorithms x partition counts over one input, metrics per run. With a
+    ``workloads`` config key the sweep also EXECUTES each analytics
+    workload (pagerank / sssp / connectedcomponents / bfs_pruned) over
+    every partitioning and reports wall time per cell — the reference's
+    complete analytics harness in one command."""
     _init_ray(args.num_cpus)
     import itertools
 
@@ -208,6 +269,10 @@ def cmd_experiment(args) -> int:
     cfg = load_config(args.config)
     algorithms = cfg.get("algorithms", ["hash", "ldg", "fennel"])
     partitions = cfg.get("partitions", [16])
+    if cfg.get("workloads"):
+        print(json.dumps(_graph_workload_sweep(
+            cfg, algorithms, partitions, cfg["workloads"]), indent=1))
+        return 0
     agg = None
     results = []
     for algo, k in itertools.product(algorithms, partitions):

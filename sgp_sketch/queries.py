@@ -2043,3 +2043,140 @@ FROM e GROUP BY elabel
 
 EXACT_QUERIES["snb_style_graph_stats"] = (snb_style_graph_stats,
                                           SNB_STYLE_SQL)
+
+
+# ===================================================================
+# round-3 consolidated queries + final registry
+# ===================================================================
+
+
+def partition_plans(sf_dir: str):
+    """All three greedy source->partition plans (hash / LDG / Fennel) in
+    one table with an ``algorithm`` column — the per-algorithm variants
+    consolidated so each registered query produces a driver row."""
+    frames = []
+    for alg in ("hash", "ldg", "fennel"):
+        f = _partition_plan(sf_dir, alg)
+        f.insert(0, "algorithm", alg)
+        frames.append(f)
+    return pd.concat(frames, ignore_index=True)
+
+
+def cms_heavy_hitters_all(sf_dir: str):
+    """Approximate heavy hitters, GLOBAL ('*') top-20 plus per-source
+    top-5, from the one sketch build — global and grouped variants
+    consolidated into a single driver-visible table."""
+    g = cms_heavy_hitters(sf_dir)
+    g.insert(0, "source", "*")
+    p = cms_heavy_hitters_per_source(sf_dir)
+    return pd.concat([g, p[g.columns]], ignore_index=True)
+
+
+def ann_variants_topk(sf_dir: str):
+    """Sub-quadratic ANN top-k, BOTH scale paths (hyperplane-LSH buckets
+    and IVF probe cells) in one table with a ``method`` column; recall vs
+    the oracle-paired brute-force ann_topk is asserted in pytest."""
+    frames = []
+    for method, fn in (("lsh", lsh_ann_topk), ("ivf", ivf_ann_topk)):
+        f = fn(sf_dir)
+        f.insert(0, "method", method)
+        frames.append(f)
+    return pd.concat(frames, ignore_index=True)
+
+
+def media_pipeline(sf_dir: str):
+    """Multimodal plumbing in ONE driver-visible sweep: fake-decode
+    feature extraction, every-Nth frame sampling, and perceptual-hash
+    dedup groups, normalized to long-format (kind, media_id, a, b)."""
+    feats = media_features_fake(sf_dir).to_pandas()
+    frames = video_frame_sample(sf_dir).to_pandas()
+    phash = media_phash_dupes(sf_dir).to_pandas()
+    rows = [
+        pd.DataFrame({"kind": "feature", "media_id": feats["media_id"],
+                      "a": 0, "b": feats["feat_argmax"]}),
+        pd.DataFrame({"kind": "frame", "media_id": frames["media_id"],
+                      "a": frames["frame_idx"], "b": frames["frame_len"]}),
+        pd.DataFrame({"kind": "phash_group",
+                      "media_id": phash["canonical_id"],
+                      "a": phash["phash"], "b": phash["n_items"]}),
+    ]
+    out = pd.concat(rows, ignore_index=True)
+    out["media_id"] = out["media_id"].astype(str)
+    for c in ("a", "b"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def partition_workload_sweep(sf_dir: str):
+    """The reference's analytics sweep (run_experiments.py:122-157,
+    twitter.json:11-46) composed END TO END: for every partitioning
+    algorithm of the capped user-event graph, run the consumer workloads
+    over the partitioned data and emit the comparison table. Deterministic
+    metrics only (wall times live in bench/CLI): partition edge-cut +
+    imbalance, 2-hop partition crossings, partition-pruned-BFS scan
+    fraction, and per-workload result checksums for pagerank(20) / sssp /
+    connected components (identical across algorithms by construction —
+    their row in the table is the workload-completeness evidence)."""
+    from .analytics import (bfs_partition_pruned, connected_components,
+                            pagerank, sssp_distances,
+                            two_hop_cross_partition)
+    from .sources import partition_graph_stream, snap_to_adjacency
+
+    edges = _event_graph_edges(sf_dir)
+    adj = snap_to_adjacency(edges)
+    # partition-INVARIANT workloads compute once; their checksum rows
+    # repeat per algorithm to keep the reference's cross-product shape
+    pr = pagerank(edges, iterations=20)
+    ss = sssp_distances(edges, "u0")
+    cc = connected_components(edges)
+    invariant = [
+        ("pagerank", "rank_checksum_e6",
+         int(round(pr["rank"].sum() * 1_000_000))),
+        ("sssp", "n_reached", len(ss)),
+        ("connectedcomponents", "n_components",
+         int(cc["component"].nunique())),
+    ]
+    rows = []
+    for alg in ("hash", "ldg", "fennel"):
+        pm, met = partition_graph_stream(adj, k=8, algorithm=alg)
+        rows.append((alg, "partition", "edge_cut_e6",
+                     int(round(met["edge_cut_ratio"] * 1_000_000))))
+        rows.append((alg, "partition", "imbalance_e6",
+                     int(round(met["imbalance"] * 1_000_000))))
+        th = two_hop_cross_partition(edges, pm)
+        rows.append((alg, "two_hop", "crossing_e6",
+                     int(round(th["crossing_fraction"] * 1_000_000))))
+        rows.append((alg, "two_hop", "n_paths", int(th["n_paths"])))
+        dist, frac = bfs_partition_pruned(edges, pm, "u0", max_depth=6)
+        rows.append((alg, "bfs_pruned", "scan_fraction_e6",
+                     int(round(frac * 1_000_000))))
+        rows.append((alg, "bfs_pruned", "n_reached", len(dist)))
+        rows.extend((alg, wl, m, v) for wl, m, v in invariant)
+    return pd.DataFrame(rows, columns=["algorithm", "workload", "metric",
+                                       "value"])
+
+
+# Registry consolidation (round 3, VERDICT r02 item 6): the driver
+# records at most ~50 queries per round, so every registered query must
+# produce a driver row. Narrow views of sketch_estimates
+# (hll_distinct_per_source, bloom_stats, kll/tdigest quantiles), the
+# per-algorithm plan variants, the per-method ANN/media variants, and
+# redundant pair queries (shingle_jaccard_pairs, winnow_fps,
+# embedding_lsh_neardup, embedding_kmeans) fold into the combined
+# entries below or remain pytest-covered; the FUNCTIONS all stay public.
+ROWS_ONLY_QUERIES.clear()
+ROWS_ONLY_QUERIES.update({
+    "sketch_estimates": sketch_estimates,
+    "cms_heavy_hitters": cms_heavy_hitters_all,
+    "partition_plans": partition_plans,
+    "hdrf_user_event_graph": hdrf_user_event_graph,
+    "simhash_pairs": simhash_pairs,
+    "langid_preds": langid_preds,
+    "ann_variants_topk": ann_variants_topk,
+    "media_pipeline": media_pipeline,
+    "embedding_dedup_clusters": embedding_dedup_clusters,
+    "partition_workload_sweep": partition_workload_sweep,
+    "packed_sequences": packed_sequences,
+    "winnow_dup_pairs": winnow_dup_pairs_q,
+    "hll_source_overlap": hll_source_overlap,
+})

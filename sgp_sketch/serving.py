@@ -1,0 +1,209 @@
+"""Concurrent query-workload harness over a partitioned graph.
+
+The reference measures query throughput under concurrent client load
+(ldbc_run.py:25-26,72-111: medium=12 / high=24 client threads, warm-up
+runs before measurement) and compares partitionings by per-node load
+delta (run-driver.sh:21-29, log_parser.py). The Ray-native analogue:
+
+- the partitioned graph is served by ONE actor per partition holding its
+  adjacency shard (a shared mutable point-lookup index is the documented
+  case where raw actors beat the Dataset API);
+- point lookups route to the single home shard; 2-hop expansions do hop 1
+  at the home shard, then fan out only to the partitions owning hop-1
+  vertices — so a locality-aware partitioning (LDG/Fennel) touches fewer
+  shards per query than hash, which is exactly what the harness measures;
+- client THREADS on the driver issue a seeded query stream; the first
+  ``warmup`` queries per client are excluded from timing;
+- each shard counts requests served; the report runs the per-partition
+  load-delta metric (metrics.load_delta_report) the reference's
+  log_parser computes per node.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+import pandas as pd
+
+
+def build_shards(edges, pmap: pd.DataFrame, k: int):
+    """Partition the edge Dataset by source-vertex partition and stand up
+    one shard actor per partition (+1 overflow for unmapped sources).
+    Returns (list of actor handles, vertex->partition dict)."""
+    import ray
+
+    vmap = dict(zip(pmap["vertex"], pmap["partition"]))
+    pref = ray.put(vmap)
+
+    def annotate(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(pref)
+        out = b.copy()
+        out["p_src"] = out["src"].map(m).fillna(k).astype("int64")
+        return out
+
+    lab = edges.map_batches(annotate, batch_format="pandas").materialize()
+
+    # num_cpus=0: shards are lightweight dict-lookup servers, and k+1
+    # actors at 1 CPU each would starve (or deadlock) a small session —
+    # the scheduler must not reserve worker slots for them
+    @ray.remote(num_cpus=0)
+    class PartitionShard:
+        """Holds one partition's adjacency; counts requests served."""
+
+        def __init__(self, rows: pd.DataFrame):
+            self.adj: dict = {}
+            # an empty Ray filter result can drop the schema entirely
+            if len(rows) and "src" in rows.columns:
+                for s, d in zip(rows["src"], rows["dst"]):
+                    self.adj.setdefault(s, []).append(d)
+            self.served = 0
+
+        def neighbors(self, v):
+            self.served += 1
+            return self.adj.get(v, [])
+
+        def neighbors_many(self, vs):
+            self.served += 1
+            out = []
+            for v in vs:
+                out.extend(self.adj.get(v, []))
+            return out
+
+        def stats(self):
+            return {"served": self.served, "n_vertices": len(self.adj)}
+
+    shards = []
+    for p in range(k + 1):
+        rows = lab.filter(expr=f"p_src == {p}") \
+            .select_columns(["src", "dst"]).to_pandas()
+        shards.append(PartitionShard.remote(rows))
+    return shards, vmap
+
+
+def run_concurrent_workload(shards, vmap: dict, vertices: list, *,
+                            n_clients: int, queries_per_client: int = 50,
+                            warmup: int = 10, two_hop_fraction: float = 0.5,
+                            seed: int = 7) -> dict:
+    """Drive ``n_clients`` threads of mixed point-lookup / 2-hop queries
+    against the shard actors; report throughput + per-partition load.
+
+    Every query routes by the partition map: a point lookup hits one
+    shard; a 2-hop hits the home shard then only the shards owning hop-1
+    vertices. Warm-up queries run (and load the actors) but are excluded
+    from the timed window, mirroring ldbc_run.py:95-111.
+    """
+    import ray
+
+    k = len(shards) - 1  # last shard is the unmapped-source overflow
+    done_counts = np.zeros(n_clients, dtype=np.int64)
+    latencies: list[list[float]] = [[] for _ in range(n_clients)]
+    fanouts: list[list[int]] = [[] for _ in range(n_clients)]
+    start_barrier = threading.Barrier(n_clients + 1)
+
+    def _home(v):
+        return vmap.get(v, k)
+
+    def client(cid: int):
+        rng = np.random.default_rng(seed + cid)
+        qs = rng.integers(0, len(vertices), size=queries_per_client + warmup)
+        kinds = rng.random(queries_per_client + warmup) < two_hop_fraction
+        start_barrier.wait()
+        for i, (qi, is_two_hop) in enumerate(zip(qs, kinds)):
+            v = vertices[qi]
+            t0 = time.perf_counter()
+            if not is_two_hop:
+                ray.get(shards[_home(v)].neighbors.remote(v))
+                fan = 1
+            else:
+                hop1 = ray.get(shards[_home(v)].neighbors.remote(v))
+                by_shard: dict[int, list] = {}
+                for u in hop1:
+                    by_shard.setdefault(_home(u), []).append(u)
+                if by_shard:
+                    ray.get([shards[p].neighbors_many.remote(us)
+                             for p, us in by_shard.items()])
+                fan = 1 + len(by_shard)
+            if i >= warmup:
+                latencies[cid].append(time.perf_counter() - t0)
+                fanouts[cid].append(fan)
+                done_counts[cid] += 1
+
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(n_clients)]
+    for t in threads:
+        t.start()
+    start_barrier.wait()
+    t_start = time.perf_counter()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+
+    import ray
+
+    stats = ray.get([s.stats.remote() for s in shards])
+    served = [st["served"] for st in stats[:k]]  # mapped partitions only
+    lat = np.concatenate([np.asarray(x) for x in latencies if x]) \
+        if any(latencies) else np.array([0.0])
+    fan = np.concatenate([np.asarray(x, dtype=np.int64)
+                          for x in fanouts if x]) \
+        if any(fanouts) else np.array([0])
+    total_q = int(done_counts.sum())
+    return {
+        "n_clients": n_clients,
+        "queries": total_q,
+        "wall_sec": round(wall, 3),
+        "qps": round(total_q / wall, 1) if wall > 0 else 0.0,
+        "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 3),
+        "latency_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 3),
+        "mean_fanout": round(float(fan.mean()), 3),
+        "shard_requests": served,
+        "request_imbalance": round(max(served) / max(np.mean(served), 1e-9),
+                                   3) if served else 0.0,
+    }
+
+
+def concurrent_query_bench(sf_dir: str, *, algorithms=("hash", "fennel"),
+                           client_levels=(12, 24), k: int = 8,
+                           queries_per_client: int = 50,
+                           seed: int = 7) -> list[dict]:
+    """The full harness: for each partitioning algorithm, shard the capped
+    user-event graph, then measure qps / latency / per-shard load at each
+    concurrency level (medium=12 / high=24, ldbc_run.py:25-26). The
+    locality algorithms should show lower 2-hop fan-out (fewer shards
+    touched per query) than hash — the partition-aware-routing payoff."""
+    import ray
+
+    from .metrics import load_delta_report
+    from .queries import _event_graph_edges
+    from .sources import partition_graph_stream, snap_to_adjacency
+
+    edges = _event_graph_edges(sf_dir)
+    adj = snap_to_adjacency(edges).materialize()
+    vertices = sorted({r["vertex"] for r in
+                       adj.select_columns(["vertex"]).take_all()})
+    results = []
+    for alg in algorithms:
+        pm, met = partition_graph_stream(adj, k=k, algorithm=alg)
+        shards, vmap = build_shards(edges, pm, k)
+        baseline = None
+        for level in client_levels:
+            r = run_concurrent_workload(
+                shards, vmap, vertices, n_clients=level,
+                queries_per_client=queries_per_client, seed=seed)
+            r["algorithm"] = alg
+            r["edge_cut_ratio"] = round(met["edge_cut_ratio"], 6)
+            if baseline is None:
+                baseline = r["shard_requests"]
+                r["load_delta"] = None
+            else:
+                rep = load_delta_report(baseline,
+                                        r["shard_requests"])
+                r["load_delta"] = {
+                    "max_abs_delta": rep["max_abs_delta"],
+                    "imbalance_after": rep["imbalance_after"]}
+            results.append(r)
+        for s in shards:
+            ray.kill(s)
+    return results

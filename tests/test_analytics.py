@@ -490,3 +490,65 @@ def test_bfs_partition_pruned_matches_and_prunes(edges_ds):
     assert pruned.equals(full)
     # BFS from inside one cluster stays mostly local under fennel
     assert 0.0 < frac < 1.0
+
+
+def test_experiment_cli_workload_sweep(sf_small, tmp_path):
+    """cli experiment with a ``workloads`` config runs every analytics
+    workload over every (algorithm x k) partitioning and emits the
+    reference-shaped comparison records (run_experiments.py:122-157)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    cfg = tmp_path / "sweep.json"
+    cfg.write_text(_json.dumps({
+        "input": sf_small, "algorithms": ["hash", "ldg"],
+        "partitions": [4],
+        "workloads": ["pagerank", "sssp", "connectedcomponents",
+                      "bfs_pruned"]}))
+    r = subprocess.run(
+        [sys.executable, "-m", "sgp_sketch.cli", "--num-cpus", "4",
+         "experiment", str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env={**__import__("os").environ, "RAY_ADDRESS": ""})
+    assert r.returncode == 0, r.stderr[-2000:]
+    recs = _json.loads(r.stdout)
+    assert len(recs) == 2  # 2 algorithms x 1 k
+    for rec in recs:
+        assert set(rec["workloads"]) == {"pagerank", "sssp",
+                                         "connectedcomponents",
+                                         "bfs_pruned"}
+        assert all(w["wall_sec"] >= 0 for w in rec["workloads"].values())
+        assert 0 <= rec["edge_cut_ratio"] <= 1
+        assert 0 <= rec["crossing_fraction"] <= 1
+        assert rec["workloads"]["bfs_pruned"]["scan_fraction"] <= 1
+    # both algorithms ran the same graph: identical workload results
+    assert recs[0]["workloads"]["sssp"]["n_rows"] \
+        == recs[1]["workloads"]["sssp"]["n_rows"]
+
+
+def test_concurrent_query_harness(sf_small):
+    """Shard-actor serving harness: all queries answered, warm-up excluded,
+    per-shard load accounted, and the locality partitioning touches fewer
+    shards per 2-hop than hash (the partition-aware routing payoff)."""
+    from sgp_sketch.serving import concurrent_query_bench
+
+    res = concurrent_query_bench(sf_small, algorithms=("hash", "fennel"),
+                                 client_levels=(4, 8), k=4,
+                                 queries_per_client=10)
+    assert len(res) == 4
+    by_alg = {}
+    for r in res:
+        assert r["queries"] == r["n_clients"] * 10
+        assert r["qps"] > 0
+        assert len(r["shard_requests"]) == 4
+        assert sum(r["shard_requests"]) >= r["queries"]
+        by_alg.setdefault(r["algorithm"], []).append(r)
+    # second level carries the load-delta report vs the first
+    assert by_alg["hash"][1]["load_delta"] is not None
+    assert by_alg["hash"][1]["load_delta"]["max_abs_delta"] > 0
+    # fan-out bounded by 1 home shard + at most k hop-2 shards (the
+    # locality-beats-hash comparison is data-dependent at sf0.001;
+    # the sf0.1 bench section records it)
+    for rs in by_alg.values():
+        assert all(1.0 <= r["mean_fanout"] <= 5.0 for r in rs)

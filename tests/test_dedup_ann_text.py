@@ -376,3 +376,36 @@ def test_winnow_dup_pairs_finds_clones():
     # the clone pair shares the most fingerprints of any pair
     top = out.sort_values("n_shared").iloc[-1]
     assert {top["doc_a"], top["doc_b"]} in ({0, 30}, {5, 31})
+
+
+def test_media_real_codec_end_to_end(ray_session):
+    """mode='real' decode over generated PNGs — runs wherever Pillow is
+    importable, skips cleanly elsewhere (the decode stub's contract)."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import pandas as pd
+    import ray.data as rd
+
+    from sgp_sketch.multimodal import media_features
+
+    payloads = []
+    for i in range(4):
+        arr = (np.arange(64, dtype=np.uint8).reshape(8, 8) + 7 * i)
+        buf = io.BytesIO()
+        PIL_Image.fromarray(arr, mode="L").save(buf, format="PNG")
+        payloads.append(buf.getvalue())
+    ds = rd.from_pandas(pd.DataFrame({
+        "media_id": [f"m{i}" for i in range(4)],
+        "media_type": ["image"] * 4,
+        "payload": payloads,
+    }))
+    out = media_features(ds, mode="real").to_pandas()
+    assert len(out) == 4
+    feats = np.array(out["features"].tolist(), dtype=np.float64)
+    assert feats.shape[1] > 0
+    # normalized histograms over REAL decoded pixel values
+    assert np.allclose(feats.sum(axis=1), 1.0)
+    # deterministic: same payload -> same features
+    out2 = media_features(ds, mode="real").to_pandas()
+    assert np.allclose(feats, np.array(out2["features"].tolist()))
