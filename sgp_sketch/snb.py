@@ -314,3 +314,64 @@ def load_snb_graph(snb_dir: str) -> dict:
     return {"edges": edges,
             "adjacency": snb_to_labeled_adjacency(edges),
             "vertices": vertices}
+
+
+def join_vertex_properties(ds, vertex_ds, *, on: str = "vertex",
+                           props: list[str] | None = None,
+                           n_buckets: int = _ADJ_BUCKETS):
+    """Attach vertex PROPERTY COLUMNS to any Dataset keyed by composite id
+    (adjacency rows, edge endpoints, partition maps); properties stay
+    Arrow columns end to end (the SNBPropertyLoader.groovy capability,
+    relational-style).
+
+    Ray's hash join rejects list-typed non-key columns (adjacency rows
+    carry neighbor lists), so this is the bucket-pattern LEFT join: both
+    sides tag-union keyed by hash(id) into ``n_buckets`` fixed groups and
+    each group merges vectorized — only each row's bucket copy moves, any
+    column type rides along. ``props`` selects property columns (default:
+    all but label/iid_long).
+    """
+    cols = list(vertex_ds.schema().names)
+    keep = props if props is not None else [
+        c for c in cols if c not in ("iid", "label", "iid_long")]
+    left_cols = list(ds.schema().names)
+    overlap = set(left_cols) & set(keep)
+    if overlap:
+        raise ValueError(f"property columns already present: {overlap}")
+
+    def _tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        for c in keep:
+            out[c] = None
+        out["__side"] = np.int8(0)
+        out["__bucket"] = (hash_str(np.asarray(b[on], dtype=object))
+                           % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def _tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({on: b["iid"]})
+        for c in left_cols:
+            if c != on:
+                out[c] = None
+        out = out[[*left_cols]]
+        for c in keep:
+            out[c] = b[c].to_numpy()
+        out["__side"] = np.int8(1)
+        out["__bucket"] = (hash_str(np.asarray(b["iid"], dtype=object))
+                           % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    tagged = ds.map_batches(_tag_left, batch_format="pandas").union(
+        vertex_ds.select_columns(["iid", *keep]).map_batches(
+            _tag_right, batch_format="pandas"))
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["__side"] == 0, left_cols].copy()
+        right = g.loc[g["__side"] == 1]
+        for c in keep:
+            left[c] = left[on].map(
+                dict(zip(right[on], right[c])))
+        return left
+
+    return tagged.groupby("__bucket").map_groups(_merge,
+                                                 batch_format="pandas")

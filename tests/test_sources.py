@@ -2,6 +2,7 @@
 partitioning over the reference's native formats."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from sgp_sketch.sources import (
@@ -224,3 +225,17 @@ class TestSNBPropertyGraph:
                                              total_vertices=len(adj))
         assert set(pm["vertex"]) == set(adj)
         assert metrics["num_items"] == len(adj)
+
+    def test_join_vertex_properties(self, snb_dir):
+        from sgp_sketch.snb import join_vertex_properties, load_snb_graph
+
+        g = load_snb_graph(snb_dir)
+        enriched = join_vertex_properties(
+            g["adjacency"], g["vertices"]["person"],
+            props=["firstName", "birthday"])
+        rows = {r["vertex"]: r for r in enriched.take_all()}
+        assert rows["person:1"]["firstName"] == "Alice"
+        assert rows["person:1"]["birthday"] == 325987200000
+        assert rows["person:1"]["degree"] == 2
+        # non-person vertices survive the left join with null props
+        assert pd.isna(rows["tag:10"]["firstName"])
