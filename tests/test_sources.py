@@ -239,3 +239,50 @@ class TestSNBPropertyGraph:
         assert rows["person:1"]["degree"] == 2
         # non-person vertices survive the left join with null props
         assert pd.isna(rows["tag:10"]["firstName"])
+
+    def test_alignment_invariants_random_graph(self, tmp_path):
+        """Property check on a seeded random multi-table graph: out-degree
+        sum == per-table edge counts, every endpoint gets a row, and out
+        tokens mirror in tokens exactly (conservation under alignment)."""
+        import ray.data as rd
+
+        from sgp_sketch.snb import (load_snb_edges,
+                                    snb_to_labeled_adjacency)
+
+        rng = np.random.default_rng(17)
+        d = tmp_path / "snb_rand"
+        d.mkdir()
+        n_edges = {}
+        for src_e, elabel, dst_e, n in (
+                ("person", "knows", "person", 200),
+                ("person", "likes", "post", 150),
+                ("post", "hasTag", "tag", 120)):
+            a = rng.integers(0, 40, size=n)
+            b = rng.integers(0, 40, size=n)
+            h2 = (f"{dst_e.capitalize()}.id.1" if src_e == dst_e
+                  else f"{dst_e.capitalize()}.id")
+            lines = [f"{src_e.capitalize()}.id|{h2}"]
+            lines += [f"{x}|{y}" for x, y in zip(a, b)]
+            (d / f"{src_e}_{elabel}_{dst_e}_0_0.csv").write_text(
+                "\n".join(lines) + "\n")
+            n_edges[elabel] = n
+        edges = load_snb_edges(str(d))
+        adj = snb_to_labeled_adjacency(edges).take_all()
+        out_total = sum(r["degree"] for r in adj)
+        in_total = sum(len(r["in_neighbors"]) for r in adj)
+        assert out_total == sum(n_edges.values()) == in_total
+        # per-label conservation: out tokens and in tokens count the same
+        from collections import Counter
+        oc: Counter = Counter()
+        ic: Counter = Counter()
+        for r in adj:
+            oc.update(t.split(",")[0] for t in r["out_neighbors"])
+            ic.update(t.split(",")[0] for t in r["in_neighbors"])
+        assert oc == ic == Counter(n_edges)
+        # every endpoint id appears exactly once as a vertex row
+        verts = [r["vertex"] for r in adj]
+        assert len(verts) == len(set(verts))
+        ep = set()
+        for r in edges.take_all():
+            ep.add(r["src"]); ep.add(r["dst"])
+        assert set(verts) == ep
