@@ -58,7 +58,7 @@ PARTIAL_SCHEMA = pa.schema(
 class SketchSpec:
     """One sketch to build: which algorithm, over which column, at which scopes."""
 
-    kind: str  # hll | cms | kll | tdigest | bloom
+    kind: str  # hll | cms | kll | tdigest | bloom | stats | kmv
     value: str = "tokens"  # "tokens" (flattened ids) or "n_tok" (per-row)
     params: dict = field(default_factory=dict)
     per_source: bool = True
@@ -89,6 +89,7 @@ DEFAULT_SPECS = [
     SketchSpec("kll", value="n_tok"),
     SketchSpec("tdigest", value="n_tok"),
     SketchSpec("bloom", value="tokens", per_source=False),
+    SketchSpec("kmv", value="tokens", per_source=False),               # 12KB
 ]
 
 

@@ -5,6 +5,7 @@ from .bloom import BlockedBloomFilter
 from .kll import KLLSketch
 from .tdigest import TDigest
 from .stats import StatsAccumulator
+from .kmv import KMVSketch
 
 __all__ = [
     "Sketch",
@@ -17,4 +18,5 @@ __all__ = [
     "KLLSketch",
     "TDigest",
     "StatsAccumulator",
+    "KMVSketch",
 ]

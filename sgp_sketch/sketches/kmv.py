@@ -1,0 +1,113 @@
+"""KMV (K-Minimum-Values / bottom-k) sketch: mergeable distinct-count
+estimation PLUS a deterministic distributed sample.
+
+Bar-Yossef et al. 2002 ("Counting distinct elements in a data stream"):
+keep the k smallest hash values of the stream; the k-th smallest
+normalized hash U_(k) estimates the distinct count as (k-1)/U_(k), with
+relative standard error ~ 1/sqrt(k-2). Because "k smallest of a union" =
+"k smallest of (k smallest of each part)", the sketch is exactly
+mergeable in any tree shape — and the retained (hash, value) pairs form a
+DETERMINISTIC uniform sample of the distinct values (the bottom-k by a
+fixed hash), the mergeable sample primitive a training-data pipeline uses
+for corpus inspection and stable eval subsets.
+
+Below ``k`` distinct values the sketch is EXACT (nothing has ever been
+dropped) — the same sparse-exact small-stream behavior as the repo's CMS.
+
+Seventh sketch kind on the shared update/merge/estimate/bytes protocol —
+it rides the identical partial-shuffle, checkpoint and increment
+machinery (see ``stats.py`` for the plug-a-new-sketch template).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..hashing import hash_i64, hash_str
+from .base import Sketch, register_sketch
+
+_HEAD = struct.Struct("<IqI")
+
+_TWO64 = float(1 << 64)
+
+
+@register_sketch
+class KMVSketch(Sketch):
+    """Bottom-k distinct sketch over integer (or hashed string) streams."""
+
+    NAME = "kmv"
+    KIND_ID = 7
+
+    def __init__(self, k: int = 1024, seed: int = 0, sparse: bool = False):
+        del sparse  # one representation; accepted for SketchSpec parity
+        if k < 8:
+            raise ValueError("kmv needs k >= 8")
+        self.k = k
+        self.seed = seed
+        # sorted ascending by hash; values[i] is the value hashes[i] hashed
+        self.hashes = np.empty(0, dtype=np.uint64)
+        self.values = np.empty(0, dtype=np.int64)
+
+    def _absorb(self, h: np.ndarray, v: np.ndarray) -> None:
+        h_all = np.concatenate([self.hashes, h])
+        v_all = np.concatenate([self.values, v])
+        uh, idx = np.unique(h_all, return_index=True)  # sorted ascending
+        keep = min(self.k, len(uh))
+        self.hashes = uh[:keep]
+        self.values = v_all[idx[:keep]]
+
+    def update(self, values) -> None:
+        v = np.asarray(values)
+        if len(v) == 0:
+            return
+        if v.dtype.kind in "iu":
+            vi = v.astype(np.int64, copy=False)
+            h = hash_i64(vi, self.seed)
+        else:
+            # string streams: the retained sample is the hash itself
+            h = hash_str(v, self.seed)
+            vi = h.astype(np.int64)
+        self._absorb(h, vi)
+
+    def merge(self, other: "KMVSketch") -> "KMVSketch":
+        if other.k != self.k or other.seed != self.seed:
+            raise ValueError("kmv merge requires identical (k, seed)")
+        self._absorb(other.hashes, other.values)
+        return self
+
+    @property
+    def saturated(self) -> bool:
+        return len(self.hashes) >= self.k
+
+    def estimate(self) -> float:
+        n = len(self.hashes)
+        if n == 0:
+            return 0.0
+        if n < self.k:
+            return float(n)  # exact: nothing was ever evicted
+        kth = float(self.hashes[self.k - 1]) / _TWO64
+        return (self.k - 1) / kth
+
+    def sample(self) -> np.ndarray:
+        """The deterministic bottom-k sample of distinct values (ascending
+        hash order) — identical regardless of partitioning/merge order."""
+        return self.values.copy()
+
+    def to_bytes(self) -> bytes:
+        head = _HEAD.pack(self.k, self.seed, len(self.hashes))
+        return self._frame(head + self.hashes.tobytes()
+                           + self.values.tobytes())
+
+    @classmethod
+    def from_payload(cls, payload: bytes) -> "KMVSketch":
+        k, seed, n = _HEAD.unpack_from(payload, 0)
+        off = _HEAD.size
+        sk = cls(k=k, seed=seed)
+        sk.hashes = np.frombuffer(payload, dtype=np.uint64, count=n,
+                                  offset=off).copy()
+        off += n * 8
+        sk.values = np.frombuffer(payload, dtype=np.int64, count=n,
+                                  offset=off).copy()
+        return sk

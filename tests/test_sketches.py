@@ -374,3 +374,91 @@ class TestStatsAccumulator:
 
         est = StatsAccumulator().estimate()
         assert est["count"] == 0 and est["min"] is None
+
+
+class TestKMV:
+    def test_exact_below_k(self):
+        from sgp_sketch.sketches import KMVSketch
+
+        sk = KMVSketch(k=256)
+        vals = np.arange(100, dtype=np.int64)
+        sk.update(vals)
+        sk.update(vals)  # duplicates must not inflate
+        assert sk.estimate() == 100.0
+        assert not sk.saturated
+        assert set(sk.sample()) == set(vals.tolist())
+
+    def test_error_bound_saturated(self):
+        from sgp_sketch.sketches import KMVSketch
+
+        rng = np.random.default_rng(5)
+        n = 200_000
+        vals = rng.integers(0, 10**12, size=n, dtype=np.int64)
+        true = len(np.unique(vals))
+        sk = KMVSketch(k=1024)
+        for lo in range(0, n, 8192):
+            sk.update(vals[lo:lo + 8192])
+        est = sk.estimate()
+        # RSE ~ 1/sqrt(k-2) ~= 3.1%; assert within 5 sigma
+        assert abs(est - true) / true < 5 / np.sqrt(1024 - 2)
+
+    def test_merge_associative_any_tree(self):
+        from sgp_sketch.sketches import KMVSketch
+
+        rng = np.random.default_rng(9)
+        parts = [rng.integers(0, 10**9, size=5000, dtype=np.int64)
+                 for _ in range(8)]
+
+        def make(chunk):
+            s = KMVSketch(k=512)
+            s.update(chunk)
+            return s
+
+        # left fold
+        a = make(parts[0])
+        for p in parts[1:]:
+            a.merge(make(p))
+        # balanced tree
+        sks = [make(p) for p in parts]
+        while len(sks) > 1:
+            sks = [sks[i].merge(sks[i + 1]) if i + 1 < len(sks) else sks[i]
+                   for i in range(0, len(sks), 2)]
+        b = sks[0]
+        assert np.array_equal(a.hashes, b.hashes)
+        assert np.array_equal(a.values, b.values)
+        assert a.estimate() == b.estimate()
+
+    def test_deterministic_bottom_k_sample(self):
+        from sgp_sketch.hashing import hash_i64
+        from sgp_sketch.sketches import KMVSketch
+
+        rng = np.random.default_rng(3)
+        vals = np.unique(rng.integers(0, 10**9, size=20_000).astype(np.int64))
+        sk = KMVSketch(k=128)
+        # arbitrary partitioning must give EXACTLY the global bottom-128
+        for lo in range(0, len(vals), 977):
+            sk.update(vals[lo:lo + 977])
+        h = hash_i64(vals, 0)
+        order = np.argsort(h)
+        expect = vals[order[:128]]
+        assert np.array_equal(np.sort(sk.sample()), np.sort(expect))
+
+    def test_roundtrip_bytes(self):
+        from sgp_sketch.sketches import KMVSketch, sketch_from_bytes
+
+        sk = KMVSketch(k=64, seed=11)
+        sk.update(np.arange(1000, dtype=np.int64))
+        back = sketch_from_bytes(sk.to_bytes())
+        assert isinstance(back, KMVSketch)
+        assert back.k == 64 and back.seed == 11
+        assert np.array_equal(back.hashes, sk.hashes)
+        assert np.array_equal(back.values, sk.values)
+        assert back.estimate() == sk.estimate()
+
+    def test_string_stream(self):
+        from sgp_sketch.sketches import KMVSketch
+
+        sk = KMVSketch(k=256)
+        sk.update(np.array([f"w{i}" for i in range(150)], dtype=object))
+        sk.update(np.array([f"w{i}" for i in range(150)], dtype=object))
+        assert sk.estimate() == 150.0
