@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .hashing import hash_str
-from .sources import SNB_EDGE_SCHEMA, read_snb_edge_csv
+from .sources import read_snb_edge_csv
 
 # the 8 vertex labels the reference's SNB schema carries
 SNB_VERTEX_LABELS = ("person", "comment", "post", "forum", "organisation",

@@ -121,3 +121,21 @@ def test_stats_merge_associative(data, cuts):
     one = StatsAccumulator()
     one.update(np.asarray(data, dtype=np.float64))
     assert merged.estimate() == one.estimate()
+
+
+@settings(max_examples=40, deadline=None)
+@given(values, split_points)
+def test_kmv_split_invariant(data, cuts):
+    from sgp_sketch.sketches import KMVSketch
+
+    ref = KMVSketch(k=64)
+    ref.update(np.array(data, dtype=np.int64))
+    merged = KMVSketch(k=64)
+    for part in _parts(data, cuts):
+        s = KMVSketch(k=64)
+        s.update(part)
+        merged.merge(s)
+    assert np.array_equal(merged.hashes, ref.hashes)
+    assert np.array_equal(merged.values, ref.values)
+    back = sketch_from_bytes(merged.to_bytes())
+    assert np.array_equal(back.hashes, ref.hashes)
