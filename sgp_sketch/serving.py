@@ -149,7 +149,10 @@ def run_concurrent_workload(shards, vmap: dict, vertices: list, *,
     fan = np.concatenate([np.asarray(x, dtype=np.int64)
                           for x in fanouts if x]) \
         if any(fanouts) else np.array([0])
+    from .metrics import imbalance_report
+
     total_q = int(done_counts.sum())
+    imb = imbalance_report(served)
     return {
         "n_clients": n_clients,
         "queries": total_q,
@@ -159,8 +162,9 @@ def run_concurrent_workload(shards, vmap: dict, vertices: list, *,
         "latency_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 3),
         "mean_fanout": round(float(fan.mean()), 3),
         "shard_requests": served,
-        "request_imbalance": round(max(served) / max(np.mean(served), 1e-9),
-                                   3) if served else 0.0,
+        "request_imbalance": round(imb["imbalance"], 3),
+        # the reference's per-node load percentile shape (ldbc_run.py:129-133)
+        "request_percentiles": imb["percentiles"],
     }
 
 
