@@ -177,6 +177,21 @@ def bidirectional_bfs_distance(edges, src: str, dst: str, *,
 # few enough that per-round scheduling overhead stays flat
 _ITER_BLOCKS = 16
 
+# rows below which one block beats the per-task scheduling overhead of a
+# multi-block round (each iteration pays ~10ms per block-task)
+_ROWS_PER_ITER_BLOCK = 64_000
+
+
+def _pin_iter_edges(edges):
+    """Materialize an iterative consumer's edge set at an ADAPTIVE block
+    count: tiny graphs (the capped sweeps) collapse to one block so 20
+    rounds don't pay 20 x 16 task launches; big graphs keep
+    ``_ITER_BLOCKS`` for parallel scan."""
+    edges = edges.materialize()
+    blocks = max(1, min(_ITER_BLOCKS,
+                        edges.count() // _ROWS_PER_ITER_BLOCK + 1))
+    return edges.repartition(blocks).materialize()
+
 
 def _collect_vertices(edges, cols=("src", "dst")) -> np.ndarray:
     """Sorted unique vertex array from an edge Dataset — ONE streamed pass,
@@ -210,7 +225,7 @@ def pagerank(edges, *, iterations: int = 20, damping: float = 0.85
 
     # iterative consumer: coalesce to a few blocks (each round pays
     # per-block task overhead) and pin in the object store, read 20x
-    edges = edges.repartition(_ITER_BLOCKS).materialize()
+    edges = _pin_iter_edges(edges)
     ids = _collect_vertices(edges)
     n = len(ids)
     if n == 0:
@@ -268,7 +283,7 @@ def sssp_distances(edges, source, *, weight_col: str | None = None,
     """
     import ray
 
-    edges = edges.repartition(_ITER_BLOCKS).materialize()
+    edges = _pin_iter_edges(edges)
     ids = _collect_vertices(edges)
     n = len(ids)
     out_empty = pd.DataFrame({"vertex": pd.Series([], dtype=object),
@@ -321,7 +336,7 @@ def _cc_arrays(edges, *, max_rounds: int = 64
     """
     import ray
 
-    edges = edges.repartition(_ITER_BLOCKS).materialize()
+    edges = _pin_iter_edges(edges)
     ids = _collect_vertices(edges)
     n = len(ids)
     if n == 0:
