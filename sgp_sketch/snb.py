@@ -240,10 +240,16 @@ def snb_to_labeled_adjacency(edges, *, n_buckets: int = _ADJ_BUCKETS):
         n = len(t)
         direction = pa.array(
             np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]))
-        h = hash_str(np.asarray(vertex.to_pylist(), dtype=object))
+        # hash only the per-batch DICTIONARY of vertices, not every row
+        # (graph batches repeat endpoints heavily — snap_to_adjacency's
+        # pattern)
+        de = vertex.dictionary_encode()
+        dhash = hash_str(np.asarray(de.dictionary.to_pylist(), dtype=object))
+        bucket = (dhash % np.uint64(n_buckets)).astype(np.int64)[
+            de.indices.to_numpy(zero_copy_only=False)]
         return pa.table({
             "vertex": vertex, "token": token, "direction": direction,
-            "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+            "bucket": pa.array(bucket),
         })
 
     def _assemble(g: pa.Table) -> pa.Table:
