@@ -81,6 +81,21 @@ def load_or_create_plan(ds, ckpt_dir: str, k: int) -> dict:
     return amap
 
 
+# schema-metadata key under which each partition parquet records the
+# increment ids already folded into it (atomic with the data itself)
+_APPLIED_META_KEY = b"sgp.applied_increments"
+
+
+def _applied_increment_ids(parquet_path: str) -> set:
+    """Increment ids recorded in the partition file's own metadata —
+    the crash-safe record that travels atomically with the folded data."""
+    if not os.path.exists(parquet_path):
+        return set()
+    meta = pq.read_schema(parquet_path).metadata or {}
+    raw = meta.get(_APPLIED_META_KEY)
+    return set(json.loads(raw)) if raw else set()
+
+
 def _load_manifest(ckpt_dir: str) -> dict:
     path = _manifest_path(ckpt_dir)
     if os.path.exists(path):
@@ -222,10 +237,15 @@ def append_increment(
       is order-sensitive by design).
 
     RETRY-SAFE: every increment carries a deterministic id (hash of its
-    input files + per-source loads). Each partition fold records that id
-    in its manifest entry and is skipped on retry if already folded; the
-    plan.json load-accounting write happens only AFTER all folds complete
-    and itself records applied ids — so re-running a crashed or duplicate
+    input files + per-source loads). The applied ids are embedded in each
+    partition parquet's OWN schema metadata, so the fold publish and its
+    record are one atomic ``os.replace`` — there is no window where the
+    data contains an increment the record lacks (a crash between separate
+    publish and record steps would otherwise double-count on retry). The
+    manifest entry is bookkeeping written after the publish and repaired
+    from the parquet metadata if a crash interleaves; the plan.json
+    load-accounting write happens only AFTER all folds complete and
+    itself records applied ids — so re-running a crashed or duplicate
     append never double-counts CMS/stats/count state or plan loads.
     """
     import hashlib
@@ -317,12 +337,32 @@ def append_increment(
     for pid, rows in sorted(by_pid.items()):
         ent = manifest["partitions"].get(str(pid), {
             "n_rows": 0, "n_tokens": 0, "n_scopes": 0, "input_files": []})
-        if any(inc.get("id") == inc_id
-               for inc in ent.get("increments", [])):
-            skipped_pids.append(pid)  # already folded by a crashed attempt
-            continue
         pdir = _part_dir(ckpt_dir, pid)
         base_path = os.path.join(pdir, "sketches.parquet")
+        # the parquet file's OWN metadata is the authoritative applied-id
+        # record (written atomically WITH the folded data); the manifest
+        # entry is derived bookkeeping and may lag after a crash
+        applied_ids = _applied_increment_ids(base_path)
+        in_manifest = any(inc.get("id") == inc_id
+                          for inc in ent.get("increments", []))
+        if inc_id in applied_ids or in_manifest:
+            skipped_pids.append(pid)  # already folded by a crashed attempt
+            if inc_id in applied_ids and not in_manifest:
+                # repair: publish landed but the crash hit before the
+                # manifest bookkeeping — record it now (counts were
+                # already folded into the parquet, atomically)
+                ent["n_rows"] += int(sum(r["n_rows"] for r in rows
+                                         if r["scope"] == SCOPE_GLOBAL))
+                ent["n_tokens"] += int(sum(r["n_tokens"] for r in rows
+                                           if r["scope"] == SCOPE_GLOBAL))
+                ent.setdefault("increments", []).append({
+                    "id": inc_id,
+                    "input_files": input_files or [],
+                    "appended_at_sec": round(time.perf_counter() - t0, 3),
+                    "repaired": True})
+                manifest["partitions"][str(pid)] = ent
+                _store_manifest(ckpt_dir, manifest)
+            continue
         acc: dict[tuple, list] = {}
         if os.path.exists(base_path):
             for row in pq.read_table(base_path).to_pylist():
@@ -345,6 +385,10 @@ def append_increment(
             for (sc, kd), v in sorted(acc.items())]
         os.makedirs(pdir, exist_ok=True)
         table = pa.Table.from_pylist(merged_rows, schema=PARTIAL_SCHEMA)
+        # record the increment id IN the published file: one os.replace
+        # makes data + applied-id record atomic (no double-count window)
+        table = table.replace_schema_metadata({
+            _APPLIED_META_KEY: json.dumps(sorted(applied_ids | {inc_id}))})
         wtmp = os.path.join(pdir, ".sketches.parquet.tmp")
         pq.write_table(table, wtmp)
         os.replace(wtmp, base_path)

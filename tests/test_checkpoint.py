@@ -294,3 +294,62 @@ class TestIncrement:
         _store_manifest(ckpt, man)
         with pytest.raises(ValueError, match="base build is incomplete"):
             append_increment(inc, ckpt, batch_size=100)
+
+    def test_crash_between_publish_and_manifest_is_idempotent(
+            self, sf_small, tmp_path):
+        """The publish (os.replace of the folded parquet) and its record
+        travel atomically: the applied increment ids live in the parquet's
+        own schema metadata. Simulate the crash window — parquet published,
+        manifest entry NOT yet updated — and assert the retry skips the
+        fold (no double-counted CMS/stats/counts) and repairs the manifest.
+        """
+        import copy
+        import json as _json
+
+        from sgp_sketch.checkpoint import (_load_manifest, _store_manifest,
+                                           append_increment,
+                                           run_checkpointed)
+
+        base, inc = self._halves(sf_small)
+        ckpt = str(tmp_path / "crash_ckpt")
+        run_checkpointed(base, ckpt, k=4, batch_size=100)
+        pre = copy.deepcopy(_load_manifest(ckpt))
+        first = append_increment(inc, ckpt, batch_size=100,
+                                 input_files=["inc-0"])
+        touched = first.metrics["incremented_partitions"]
+        assert touched, "fixture must touch at least one partition"
+        # crash simulation: one partition's parquet holds the increment
+        # (schema metadata included) but its manifest entry reverted to
+        # the pre-append state — exactly the window ADVICE.md describes
+        man = _load_manifest(ckpt)
+        victim = str(touched[0])
+        man["partitions"][victim] = pre["partitions"][victim]
+        # and the plan write never happened either
+        with open(f"{ckpt}/plan.json") as f:
+            plan_after = _json.load(f)
+        _store_manifest(ckpt, man)
+
+        retry = append_increment(inc, ckpt, batch_size=100,
+                                 input_files=["inc-0"])
+        # every partition skipped — the parquet metadata is authoritative
+        assert retry.metrics["incremented_partitions"] == []
+        assert set(retry.metrics["skipped_partitions"]) == set(touched)
+        # totals identical to the clean first append (no double count)
+        assert retry.metrics["n_rows"] == first.metrics["n_rows"]
+        assert retry.metrics["n_tokens"] == first.metrics["n_tokens"]
+        assert retry.get("hll").estimate() == first.get("hll").estimate()
+        cms_r, cms_f = retry.get("cms"), first.get("cms")
+        hh = cms_f.heavy_hitters(10)
+        toks = np.array([t for t, _ in hh], dtype=np.int64)
+        assert np.array_equal(cms_r.estimate_counts(toks),
+                              np.array([c for _, c in hh], dtype=np.int64))
+        # manifest repaired: the victim's entry holds the increment again
+        man2 = _load_manifest(ckpt)
+        incs = man2["partitions"][victim].get("increments", [])
+        assert any(i.get("repaired") for i in incs)
+        # plan loads unchanged by the retry
+        with open(f"{ckpt}/plan.json") as f:
+            plan_retry = _json.load(f)
+        assert plan_retry["partition_loads"] == plan_after["partition_loads"]
+        assert plan_retry["applied_increments"] \
+            == plan_after["applied_increments"]
