@@ -107,8 +107,11 @@ def revenue_by_nation(sf_dir: str):
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = broadcast_join(
-        orders.map_batches(lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
-                           batch_format="pandas"),
+        orders.map_batches(
+            lambda t: t.rename_columns(
+                ["c_custkey" if c == "o_custkey" else c
+                 for c in t.column_names]),
+            batch_format="pyarrow"),
         dim, on="c_custkey",
     )
     out = (
@@ -1709,9 +1712,9 @@ def triangle_count(sf_dir: str):
         return out.group_by(["u", "k"]).aggregate([])  # in-batch distinct
 
     uk = ds.map_batches(_uk, batch_format="pyarrow")
-    uk2 = uk.map_batches(
-        lambda b: b.rename(columns={"u": "v", "k": "k2"}),
-        batch_format="pandas")
+    uk2 = uk.map_batches(  # zero-copy Arrow rename (pure projection)
+        lambda t: t.select(["u", "k"]).rename_columns(["v", "k2"]),
+        batch_format="pyarrow")
     co = uk.join(uk2, join_type="inner", num_partitions=8,
                  on=("k",), right_on=("k2",))
 
@@ -1721,15 +1724,12 @@ def triangle_count(sf_dir: str):
                              "doc_b": b.loc[m, "v"].astype("int64")})
 
     edges = dedup_pairs(co.map_batches(_orient, batch_format="pandas"))
-    e_ab = edges.map_batches(
-        lambda b: b.rename(columns={"doc_a": "a", "doc_b": "b"}),
-        batch_format="pandas")
-    e_bc = edges.map_batches(
-        lambda b: b.rename(columns={"doc_a": "wb", "doc_b": "c"}),
-        batch_format="pandas")
-    e_ac = edges.map_batches(
-        lambda b: b.rename(columns={"doc_a": "ca", "doc_b": "cc"}),
-        batch_format="pandas")
+    def _ren(names):  # zero-copy Arrow renames on the full edge stream
+        return lambda t: t.select(["doc_a", "doc_b"]).rename_columns(names)
+
+    e_ab = edges.map_batches(_ren(["a", "b"]), batch_format="pyarrow")
+    e_bc = edges.map_batches(_ren(["wb", "c"]), batch_format="pyarrow")
+    e_ac = edges.map_batches(_ren(["ca", "cc"]), batch_format="pyarrow")
     wedges = e_ab.join(e_bc, join_type="inner", num_partitions=8,
                        on=("b",), right_on=("wb",))
     closed = wedges.join(e_ac, join_type="inner", num_partitions=8,
