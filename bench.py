@@ -249,7 +249,7 @@ def run_concurrent() -> dict:
     from sgp_sketch.serving import concurrent_query_bench
 
     res = concurrent_query_bench(SF_DIR, algorithms=("hash", "fennel"),
-                                 client_levels=(12, 24))
+                                 client_levels=(12, 24), rounds=3)
     ray.shutdown()
     return {"metric": "concurrent_query_qps", "unit": "qps",
             "sf": SF_DIR, "num_cpus": NUM_CPUS, "levels": res}

@@ -552,3 +552,54 @@ def test_concurrent_query_harness(sf_small):
     # the sf0.1 bench section records it)
     for rs in by_alg.values():
         assert all(1.0 <= r["mean_fanout"] <= 5.0 for r in rs)
+
+
+def test_split_by_partition_one_pass():
+    """ops.split_by_partition: every row lands in the Dataset matching its
+    partition column, counts agree, no rows lost (the one-sorted-pass
+    replacement for k filter rescans)."""
+    import ray.data as rd
+
+    from sgp_sketch.ops import split_by_partition
+
+    rng = np.random.default_rng(5)
+    n, k = 5000, 6
+    df = pd.DataFrame({"src": rng.integers(0, 400, n),
+                       "dst": rng.integers(0, 400, n)})
+    df["p_src"] = (df["src"] % k).astype("int64")
+    parts, counts = split_by_partition(rd.from_pandas(df), "p_src", k)
+    assert len(parts) == k
+    total = 0
+    for p in range(k):
+        got = parts[p].to_pandas()
+        assert counts[p] == len(got)
+        total += len(got)
+        if len(got):
+            assert (got["p_src"] == p).all()
+    assert total == n
+
+
+def test_build_shards_from_block_refs(sf_small):
+    """Shard adjacency built inside the actors from object-store block
+    refs matches a driver-side reference build (rows never via driver)."""
+    import ray
+
+    from sgp_sketch.queries import _event_graph_edges
+    from sgp_sketch.serving import build_shards
+    from sgp_sketch.sources import partition_graph_stream, snap_to_adjacency
+
+    edges = _event_graph_edges(sf_small)
+    adj = snap_to_adjacency(edges)
+    pm, _ = partition_graph_stream(adj, k=4, algorithm="fennel")
+    shards, vmap = build_shards(edges, pm, 4)
+    # reference adjacency from the same edge stream
+    ref: dict = {}
+    for b in edges.iter_batches(batch_format="pandas"):
+        for s, d in zip(b["src"], b["dst"]):
+            ref.setdefault(s, []).append(d)
+    for v in list(ref)[:25]:
+        home = vmap.get(v, 4)
+        got = ray.get(shards[home].neighbors.remote(v))
+        assert sorted(got) == sorted(ref[v]), v
+    for s in shards:
+        ray.kill(s)
