@@ -171,42 +171,15 @@ def bidirectional_bfs_distance(edges, src: str, dst: str, *,
 
 # ---------------------------------------------------------------------------
 # Iterative workloads (reference analytics sweep: pagerank / sssp / CC)
+#
+# All three delegate to vertexstate.ShardedGraph: per-vertex state lives
+# SHARDED across num_cpus=0 graph-shard actors (hash(vertex) % k), rounds
+# are scatter/gather over one-time-cached index maps, and the driver
+# routes only object refs and per-shard scalars — the round-3 "driver
+# vector re-ray.put every round + serial np.add.at fold" scale flaw is
+# gone. Only the final RESULT (the API's pandas contract) is vertex-scale
+# on the driver.
 # ---------------------------------------------------------------------------
-
-# block count for pinned iterative edge sets: enough for parallel scan,
-# few enough that per-round scheduling overhead stays flat
-_ITER_BLOCKS = 16
-
-# rows below which one block beats the per-task scheduling overhead of a
-# multi-block round (each iteration pays ~10ms per block-task)
-_ROWS_PER_ITER_BLOCK = 64_000
-
-
-def _pin_iter_edges(edges):
-    """Materialize an iterative consumer's edge set at an ADAPTIVE block
-    count: tiny graphs (the capped sweeps) collapse to one block so 20
-    rounds don't pay 20 x 16 task launches; big graphs keep
-    ``_ITER_BLOCKS`` for parallel scan."""
-    edges = edges.materialize()
-    blocks = max(1, min(_ITER_BLOCKS,
-                        edges.count() // _ROWS_PER_ITER_BLOCK + 1))
-    return edges.repartition(blocks).materialize()
-
-
-def _collect_vertices(edges, cols=("src", "dst")) -> np.ndarray:
-    """Sorted unique vertex array from an edge Dataset — ONE streamed pass,
-    per-batch ``np.unique`` partials, vertex-scale driver fold."""
-    parts = []
-    def uniq(batch: pd.DataFrame) -> pd.DataFrame:
-        vals = np.unique(np.concatenate(
-            [batch[c].to_numpy() for c in cols]))
-        return pd.DataFrame({"v": vals})
-    for b in edges.map_batches(uniq, batch_format="pandas") \
-            .iter_batches(batch_format="pandas"):
-        parts.append(b["v"].to_numpy())
-    if not parts:
-        return np.array([], dtype=object)
-    return np.unique(np.concatenate(parts))
 
 
 def pagerank(edges, *, iterations: int = 20, damping: float = 0.85
@@ -214,61 +187,16 @@ def pagerank(edges, *, iterations: int = 20, damping: float = 0.85
     """PageRank over an edge Dataset (the reference sweep's first workload,
     containers/analytics/parameters/twitter.json:36: pagerank iterations=20).
 
-    Scale shape: the rank/out-degree vectors are VERTEX-scale and broadcast
-    once per iteration (``ray.put``); the edge Dataset (the 100-TB part) is
-    materialized ONCE into the object store and streamed per iteration; each
-    batch reduces its contributions with ``np.bincount`` and ships only the
-    nonzero (idx, partial) rows, so driver traffic per round is
-    O(touched vertices), never O(edges).
+    Scale shape: edges split once by source-owner into shard actors; each
+    iteration is a scatter (per-shard vectorized contribution partials,
+    aligned to cached distinct-dst index maps) -> gather (receiver-local
+    ``np.add.at``) -> apply. Driver traffic per round: k dangling scalars
+    and object refs — never a vertex-scale array.
     """
-    import ray
+    from .vertexstate import ShardedGraph
 
-    # iterative consumer: coalesce to a few blocks (each round pays
-    # per-block task overhead) and pin in the object store, read 20x
-    edges = _pin_iter_edges(edges)
-    ids = _collect_vertices(edges)
-    n = len(ids)
-    if n == 0:
-        return pd.DataFrame({"vertex": pd.Series([], dtype=object),
-                             "rank": pd.Series([], dtype="float64")})
-    ids_ref = ray.put(ids)
-
-    def deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        si = np.searchsorted(ray.get(ids_ref), batch["src"].to_numpy())
-        cnt = np.bincount(si, minlength=n)
-        nz = np.flatnonzero(cnt)
-        return pd.DataFrame({"i": nz.astype("int64"),
-                             "c": cnt[nz].astype("int64")})
-
-    outdeg = np.zeros(n, dtype=np.int64)
-    for b in edges.map_batches(deg_partial, batch_format="pandas") \
-            .iter_batches(batch_format="pandas"):
-        np.add.at(outdeg, b["i"].to_numpy(), b["c"].to_numpy())
-    safe_deg = np.maximum(outdeg, 1).astype("float64")
-    deg_ref = ray.put(safe_deg)
-
-    ranks = np.full(n, 1.0 / n)
-    for _ in range(iterations):
-        rref = ray.put(ranks)
-
-        def contrib(batch: pd.DataFrame) -> pd.DataFrame:
-            idv = ray.get(ids_ref)
-            r = ray.get(rref)
-            d = ray.get(deg_ref)
-            si = np.searchsorted(idv, batch["src"].to_numpy())
-            di = np.searchsorted(idv, batch["dst"].to_numpy())
-            acc = np.bincount(di, weights=r[si] / d[si], minlength=n)
-            nz = np.flatnonzero(acc)
-            return pd.DataFrame({"i": nz.astype("int64"), "x": acc[nz]})
-
-        agg = np.zeros(n)
-        for b in edges.map_batches(contrib, batch_format="pandas") \
-                .iter_batches(batch_format="pandas"):
-            np.add.at(agg, b["i"].to_numpy(), b["x"].to_numpy())
-        dangling = ranks[outdeg == 0].sum()
-        ranks = (1.0 - damping) / n + damping * (agg + dangling / n)
-
-    return pd.DataFrame({"vertex": ids, "rank": ranks})
+    return ShardedGraph(edges).pagerank(iterations=iterations,
+                                        damping=damping)
 
 
 def sssp_distances(edges, source, *, weight_col: str | None = None,
@@ -276,146 +204,49 @@ def sssp_distances(edges, source, *, weight_col: str | None = None,
     """Single-source shortest paths (Bellman-Ford rounds) — the reference
     sweep's second workload (twitter.json:40: sssp).
 
-    Each round broadcasts the vertex-scale distance vector; one vectorized
-    relax pass over the streamed edge Dataset emits per-batch segment-min
-    (idx, candidate) partials; the driver folds with ``np.minimum.at`` and
-    stops at fixpoint. ``weight_col`` None means unit weights (= BFS).
+    Frontier-sparse sharded rounds: only edges whose source improved last
+    round emit candidates; per-shard segment-min partials fold
+    receiver-local; the driver sees k changed flags per round and stops at
+    fixpoint. ``weight_col`` None means unit weights (= BFS).
     """
-    import ray
+    from .vertexstate import ShardedGraph
 
-    edges = _pin_iter_edges(edges)
-    ids = _collect_vertices(edges)
-    n = len(ids)
-    out_empty = pd.DataFrame({"vertex": pd.Series([], dtype=object),
-                              "dist": pd.Series([], dtype="float64")})
-    if n == 0:
-        return out_empty
-    src_pos = np.searchsorted(ids, source)
-    if src_pos >= n or ids[src_pos] != source:
-        return out_empty
-    ids_ref = ray.put(ids)
-
-    dist = np.full(n, np.inf)
-    dist[src_pos] = 0.0
-    rounds = max_rounds if max_rounds is not None else n - 1
-    for _ in range(max(rounds, 1)):
-        dref = ray.put(dist)
-
-        def relax(batch: pd.DataFrame) -> pd.DataFrame:
-            idv = ray.get(ids_ref)
-            d = ray.get(dref)
-            si = np.searchsorted(idv, batch["src"].to_numpy())
-            di = np.searchsorted(idv, batch["dst"].to_numpy())
-            w = (batch[weight_col].to_numpy(dtype="float64")
-                 if weight_col else np.ones(len(batch)))
-            cand = d[si] + w
-            m = cand < d[di]
-            if not m.any():
-                return pd.DataFrame({"i": pd.Series([], dtype="int64"),
-                                     "x": pd.Series([], dtype="float64")})
-            seg = pd.Series(cand[m]).groupby(di[m]).min()
-            return pd.DataFrame({"i": seg.index.to_numpy(dtype="int64"),
-                                 "x": seg.to_numpy()})
-
-        before = dist.copy()
-        for b in edges.map_batches(relax, batch_format="pandas") \
-                .iter_batches(batch_format="pandas"):
-            np.minimum.at(dist, b["i"].to_numpy(), b["x"].to_numpy())
-        if np.array_equal(before, dist):
-            break
-
-    reach = np.flatnonzero(np.isfinite(dist))
-    return pd.DataFrame({"vertex": ids[reach], "dist": dist[reach]})
-
-
-def _cc_arrays(edges, *, max_rounds: int = 64
-               ) -> tuple[np.ndarray, np.ndarray]:
-    """Core label propagation shared by ``connected_components`` (pandas
-    output) and ``connected_components_ds`` (Dataset output). Returns the
-    sorted vertex array and, per vertex, its component's minimum vertex id.
-    """
-    import ray
-
-    edges = _pin_iter_edges(edges)
-    ids = _collect_vertices(edges)
-    n = len(ids)
-    if n == 0:
-        return ids, np.array([], dtype=object)
-    ids_ref = ray.put(ids)
-
-    labels = np.arange(n, dtype=np.int64)
-    for _ in range(max_rounds):
-        lref = ray.put(labels)
-
-        def prop(batch: pd.DataFrame) -> pd.DataFrame:
-            idv = ray.get(ids_ref)
-            lab = ray.get(lref)
-            si = np.searchsorted(idv, batch["src"].to_numpy())
-            di = np.searchsorted(idv, batch["dst"].to_numpy())
-            tgt = np.concatenate([si, di])
-            cand = np.concatenate([lab[di], lab[si]])
-            m = cand < lab[tgt]
-            if not m.any():
-                return pd.DataFrame({"i": pd.Series([], dtype="int64"),
-                                     "l": pd.Series([], dtype="int64")})
-            seg = pd.Series(cand[m]).groupby(tgt[m]).min()
-            return pd.DataFrame({"i": seg.index.to_numpy(dtype="int64"),
-                                 "l": seg.to_numpy(dtype="int64")})
-
-        before = labels.copy()
-        for b in edges.map_batches(prop, batch_format="pandas") \
-                .iter_batches(batch_format="pandas"):
-            np.minimum.at(labels, b["i"].to_numpy(), b["l"].to_numpy())
-        labels = np.minimum(labels, labels[labels])  # path halving
-        if np.array_equal(before, labels):
-            break
-
-    return ids, ids[labels]
+    return ShardedGraph(edges, weight_col=weight_col).sssp(
+        source, max_rounds=max_rounds)
 
 
 def connected_components(edges, *, max_rounds: int = 64) -> pd.DataFrame:
-    """Connected components via min-label propagation + path-halving — the
-    reference sweep's third workload (twitter.json:44: connectedcomponents).
+    """Connected components via min-label propagation — the reference
+    sweep's third workload (twitter.json:44: connectedcomponents).
 
-    Labels are dense indices into the sorted vertex array, so the converged
-    label of every vertex is the component's MINIMUM vertex id — a
-    deterministic canonical representative (this is also the dedup-cluster
-    resolution step: component min = the one document kept per near-dup
-    cluster). Per round: labels broadcast once; one vectorized pass over the
-    streamed edges emits in-batch segment-min partials; driver folds with
-    ``np.minimum.at`` then shortcuts ``labels = min(labels, labels[labels])``
-    (path halving), so convergence is O(log diameter) rounds, not O(diameter).
+    The converged label of every vertex is the component's MINIMUM vertex
+    id — a deterministic canonical representative (this is also the
+    dedup-cluster resolution step: component min = the one document kept
+    per near-dup cluster). Each sharded round propagates mins BOTH
+    directions over the cached index maps and then pointer-jumps
+    (distributed path halving via shard-to-shard label-of-label lookups),
+    so convergence is O(log diameter) rounds, not O(diameter).
     """
-    ids, comp = _cc_arrays(edges, max_rounds=max_rounds)
-    return pd.DataFrame({"vertex": ids, "component": comp})
+    from .vertexstate import ShardedGraph
+
+    return ShardedGraph(edges).connected_components(max_rounds=max_rounds)
 
 
 def connected_components_ds(edges, *, max_rounds: int = 64,
                             rows_per_block: int = 1 << 20):
     """Dataset-returning connected components for DISTRIBUTED consumers.
 
-    The label fold is the same vertex-scale driver vector as
-    ``connected_components`` (the documented contract — labels are 16 B per
-    paired vertex), but the OUTPUT ships straight into object-store Arrow
-    blocks instead of one driver pandas frame, so downstream stages
-    (per-component ranking, tile replication, joins) run as Dataset
-    transforms and never re-materialize the component table on the driver.
+    The OUTPUT ships straight from the shard actors into object-store
+    Arrow blocks (``from_arrow_refs``) — downstream stages (per-component
+    ranking, tile replication, joins) run as Dataset transforms and the
+    component table never exists on the driver at all.
     Returns (Dataset[vertex, component], n_vertices).
     """
-    import ray.data as rd
+    del rows_per_block  # blocks are per-shard now; kept for API compat
+    from .vertexstate import ShardedGraph
 
-    ids, comp = _cc_arrays(edges, max_rounds=max_rounds)
-    n = len(ids)
-    if n == 0:
-        empty = pa.table({"vertex": pa.array([], pa.int64()),
-                          "component": pa.array([], pa.int64())})
-        return rd.from_arrow(empty), 0
-    tables = [
-        pa.table({"vertex": pa.array(ids[i:i + rows_per_block]),
-                  "component": pa.array(comp[i:i + rows_per_block])})
-        for i in range(0, n, rows_per_block)
-    ]
-    return rd.from_arrow(tables), n
+    return ShardedGraph(edges).connected_components_ds(
+        max_rounds=max_rounds)
 
 
 def bfs_partition_pruned(edges, pmap: pd.DataFrame, source, *,

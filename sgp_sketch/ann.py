@@ -170,6 +170,11 @@ def _spherical_kmeans(x: np.ndarray, n_centroids: int, *, iters: int = 10,
     Deterministic: init = seeded row sample; ties by lowest centroid id.
     Returns (n_centroids, d) L2-normalized centroids.
     """
+    # canonicalize the training-row ORDER: the sample arrives in block-
+    # completion order (limit() keeps whichever blocks finish first), and
+    # the seeded init draws row INDICES — without this sort two runs over
+    # the same sample set could train different centroids
+    x = x[np.lexsort(x.T[::-1])]
     rng = np.random.default_rng(seed)
     n = len(x)
     init = rng.choice(n, size=min(n_centroids, n), replace=False)

@@ -15,6 +15,10 @@ import json
 import os
 import sys
 
+# the CLI's machine-readable output stream; main() rebinds it to the real
+# stdout fd and reroutes fd 1 to stderr so Ray log chatter can't pollute it
+_OUT = sys.stdout
+
 
 def _init_ray(num_cpus: int | None):
     import ray
@@ -26,6 +30,9 @@ def _init_ray(num_cpus: int | None):
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # raylet chatter (e.g. worker-count warnings from num_cpus=0
+            # actor pools) must not contaminate the CLI's JSON stdout
+            log_to_driver=False,
         )
     from ray.data import DataContext
 
@@ -66,7 +73,7 @@ def cmd_build(args) -> int:
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
         table.to_json(args.output, orient="records", lines=True)
     else:
-        print(table.to_string(index=False))
+        print(table.to_string(index=False), file=_OUT)
     if args.metrics:
         from .metrics import write_metrics
 
@@ -90,7 +97,7 @@ def cmd_partition(args) -> int:
         {"source": s, "partitions": [int(x) for x in p]} for s, p in sorted(amap.items())
     ]
     out = {"k": args.k, "assignment": rows, "report": imbalance_report(sizes)}
-    print(json.dumps(out, indent=1))
+    print(json.dumps(out, indent=1), file=_OUT)
     return 0
 
 
@@ -130,7 +137,20 @@ def main(argv=None) -> int:
     cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
-    rc = args.fn(args)
+    # stdout is a JSON contract. Ray's log monitor forwards some raylet
+    # warnings to fd 1 even with log_to_driver=False (e.g. the
+    # worker-process-count warning triggered by num_cpus=0 actor pools),
+    # so route EVERY fd-1 write to stderr for the duration of the run and
+    # emit the command's JSON on the saved real stdout at the end.
+    import os as _os
+
+    global _OUT
+    _OUT = _os.fdopen(_os.dup(1), "w")
+    _os.dup2(2, 1)  # sys.stdout (and Ray's log monitor) now hit stderr
+    try:
+        rc = args.fn(args)
+    finally:
+        _OUT.flush()
     import ray
 
     if ray.is_initialized():
@@ -175,7 +195,7 @@ def cmd_curate(args) -> int:
     n = pds.dataset(args.output, format="parquet",
                     partitioning="hive").count_rows()
     print(json.dumps({"written_rows": int(n), "output": args.output,
-                      "min_quality_e6": min_q6}))
+                      "min_quality_e6": min_q6}), file=_OUT)
     return 0
 
 
@@ -271,7 +291,8 @@ def cmd_experiment(args) -> int:
     partitions = cfg.get("partitions", [16])
     if cfg.get("workloads"):
         print(json.dumps(_graph_workload_sweep(
-            cfg, algorithms, partitions, cfg["workloads"]), indent=1))
+            cfg, algorithms, partitions, cfg["workloads"]), indent=1),
+            file=_OUT)
         return 0
     agg = None
     results = []
@@ -295,7 +316,7 @@ def cmd_experiment(args) -> int:
         m = sp.metrics()
         m.update(imbalance_report(m.pop("sizes")))
         results.append(m)
-    print(json.dumps(results, indent=1))
+    print(json.dumps(results, indent=1), file=_OUT)
     return 0
 
 

@@ -379,8 +379,15 @@ def split_by_partition(ds, col: str, k: int):
     boundaries — block metadata splits, no re-scan, no driver-side rows.
     ``col`` must be integers in ``[0, k)``. Returns (list of k Datasets,
     int64 row-count array).
+
+    The input pins in the object store first: the count pass and the sort
+    both consume it, and re-running an expensive upstream pipeline twice
+    would cost more than the (spillable) materialization.
     """
+    ds = ds.materialize()
     counts = np.zeros(k, dtype=np.int64)
+    if ds.count() == 0:
+        return [ds for _ in range(k)], counts
 
     def _cnt(t: pa.Table) -> pa.Table:
         c = np.bincount(t[col].to_numpy(zero_copy_only=False),
