@@ -4,7 +4,8 @@ algorithm on the same input; run_experiments.py cross-product shape).
 
 Builds a seeded clustered power-law graph (arrival order = cluster order,
 the regime where greedy streaming partitioners shine), runs
-hash/LDG/Fennel at several k, prints a markdown table of edge-cut ratio
+hash/LDG/Fennel (plus the offline multilevel quality ceiling — the
+reference's 'metis' row) at several k, prints a markdown table of edge-cut ratio
 and imbalance. HDRF runs on the equivalent edge stream (replication
 factor metric).
 """
@@ -17,7 +18,8 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from sgp_sketch.partition import HDRFEdgePartitioner, StreamingPartitioner
+from sgp_sketch.partition import (HDRFEdgePartitioner, StreamingPartitioner,
+                                  offline_multilevel_partition)
 
 
 def make_graph(n_clusters=32, size=1500, intra=6, inter=1, seed=11):
@@ -56,6 +58,14 @@ def main():
             mt = sp.metrics()
             print(f"| {k} | {algo} | {mt['edge_cut_ratio']:.3f} | "
                   f"{mt['imbalance']:.3f} |")
+        # offline multilevel quality ceiling (the reference's 'metis' row)
+        import pandas as _pd
+
+        adj_df = _pd.DataFrame({"vertex": [v for v, _ in stream],
+                                "neighbors": [nb for _, nb in stream]})
+        _, om = offline_multilevel_partition(adj_df, k, seed=5)
+        print(f"| {k} | offline (multilevel ceiling) | "
+              f"{om['edge_cut_ratio']:.3f} | {om['imbalance']:.3f} |")
         h = HDRFEdgePartitioner(k=k, seed=5)
         for v, nb in stream:
             for u in nb:

@@ -7,21 +7,24 @@ over the partitioned store: the LDBC 2-hop expansion
 (shortestPathTest.groovy:166-219). Here the analogues run Ray-Data-first:
 
 - ``two_hop_cross_partition``: one keyed self-join expands every
-  src -> mid -> dst path; partition labels ride along via broadcast
-  map-side merges; the metric is partition switches per traversal hop.
+  src -> mid -> dst path; partition labels attach to the EDGES before the
+  join (never to the quadratic path set); the metric is partition
+  switches per traversal hop. ``label_edges`` produces the shared
+  annotated edge set per partition map.
 - ``bfs_layers`` / ``bidirectional_bfs_distance``: broadcast-frontier BFS
-  (frontier + visited are vertex-scale driver state; each round is one
-  vectorized membership pass over the edge Dataset).
+  (the frontier is SPARSE — each round ships only the newly reached
+  vertex set; each round is one vectorized membership pass over the
+  edge Dataset). ``bfs_partition_pruned`` additionally scans only the
+  partitions holding frontier vertices.
 - ``pagerank`` / ``sssp_distances`` / ``connected_components``: the
   reference's analytics parameter sweep runs exactly these three workloads
   over every partitioning (containers/analytics/parameters/twitter.json:35-46,
-  pagerank iterations=20 / sssp / connectedcomponents). All three follow the
-  same scale contract as BFS: VERTEX-scale state (ranks / distances / labels,
-  GBs at billion-vertex scale) is a driver vector broadcast once per round
-  via ``ray.put``, while the EDGE data — the part that is 100 TB — only ever
-  streams through ``map_batches``; per-batch partials are reduced vectorized
-  in-batch (bincount / segment-min) before the driver fold, so nothing
-  edge-scale is ever collected.
+  pagerank iterations=20 / sssp / connectedcomponents). All three
+  delegate to ``vertexstate.ShardedGraph``: per-vertex state lives
+  sharded across num_cpus=0 actors, rounds exchange refs and per-shard
+  scalars with the driver, and the EDGE data — the part that is 100 TB —
+  is split once by source-owner into the shards via object-store block
+  refs, never via the driver.
 """
 
 from __future__ import annotations
@@ -31,48 +34,70 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _attach_partition(ds, pmap: pd.DataFrame, col: str, out: str):
-    """Broadcast map-side merge: annotate ``col`` with its partition id."""
+def label_edges(edges, pmap: pd.DataFrame, k: int):
+    """Annotate every edge with its endpoints' partitions (p_src, p_dst)
+    in ONE broadcast map-side pass; vertices absent from the map get the
+    OVERFLOW id ``k``. Materialized so the sweep's consumers (2-hop join,
+    pruned BFS) share one labeled edge set per partition map instead of
+    re-annotating per workload (VERDICT r03 ask #4)."""
     import ray
 
-    small = pmap.rename(columns={"vertex": col, "partition": out})
-    ref = ray.put(small)
+    vmap = dict(zip(pmap["vertex"], pmap["partition"]))
+    pref = ray.put(vmap)
 
-    def join(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(ray.get(ref), on=col, how="inner")
+    def annotate(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(pref)
+        out = b[["src", "dst"]].copy()
+        out["p_src"] = out["src"].map(m).fillna(k).astype("int64")
+        out["p_dst"] = out["dst"].map(m).fillna(k).astype("int64")
+        return out
 
-    return ds.map_batches(join, batch_format="pandas")
+    return edges.map_batches(annotate,
+                             batch_format="pandas").materialize()
 
 
 def two_hop_cross_partition(edges, pmap: pd.DataFrame, *,
-                            num_partitions: int = 8) -> dict:
+                            num_partitions: int = 8,
+                            labeled=None, k: int | None = None) -> dict:
     """Expand all 2-hop paths src -> mid -> dst and count partition
     switches along both legs under the given vertex -> partition map.
 
-    Shape: ONE keyed shuffle join (edges x edges on mid) — the partition
-    labels join map-side from the broadcast (vertex-scale) map; per-batch
-    partial sums collapse to a handful of rows before the driver fold.
-    Returns {"n_paths", "hop_crossings", "crossing_fraction"}.
+    Shape: partition labels attach to the EDGES (linear) before the one
+    keyed shuffle join (edges x edges on mid) — never to the quadratic
+    path set; per-batch partial sums collapse to a handful of rows before
+    the driver fold. Paths touching a vertex absent from the map are
+    dropped (the map is expected to cover the graph). Pass ``labeled``
+    (from ``label_edges``) to share the annotated edge set with other
+    consumers. Returns {"n_paths", "hop_crossings", "crossing_fraction"}.
     """
-    e1 = edges.map_batches(
-        lambda b: b.rename(columns={"dst": "mid"}), batch_format="pandas")
-    e2 = edges.map_batches(
-        lambda b: b.rename(columns={"src": "mid", "dst": "far"}),
-        batch_format="pandas")
-    paths = e1.join(e2, join_type="inner", num_partitions=num_partitions,
-                    on=("mid",))
+    if k is None:
+        k = int(pmap["partition"].max()) + 1 if len(pmap) else 1
+    if labeled is None:
+        labeled = label_edges(edges, pmap, k)
 
-    lab = _attach_partition(paths, pmap, "src", "p_src")
-    lab = _attach_partition(lab, pmap, "mid", "p_mid")
-    lab = _attach_partition(lab, pmap, "far", "p_far")
+    def _e1(t: pa.Table) -> pa.Table:
+        return t.select(["src", "dst", "p_src", "p_dst"]) \
+            .rename_columns(["src", "mid", "p_src", "p_mid"])
+
+    def _e2(t: pa.Table) -> pa.Table:
+        return t.select(["src", "dst", "p_dst"]) \
+            .rename_columns(["mid2", "far", "p_far"])
+
+    e1 = labeled.map_batches(_e1, batch_format="pyarrow")
+    e2 = labeled.map_batches(_e2, batch_format="pyarrow")
+    paths = e1.join(e2, join_type="inner", num_partitions=num_partitions,
+                    on=("mid",), right_on=("mid2",))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        cross = ((batch["p_src"] != batch["p_mid"]).sum()
-                 + (batch["p_mid"] != batch["p_far"]).sum())
-        return pd.DataFrame({"n_paths": [len(batch)],
+        mapped = ((batch["p_src"] != k) & (batch["p_mid"] != k)
+                  & (batch["p_far"] != k))
+        b = batch[mapped]
+        cross = ((b["p_src"] != b["p_mid"]).sum()
+                 + (b["p_mid"] != b["p_far"]).sum())
+        return pd.DataFrame({"n_paths": [len(b)],
                              "hop_crossings": [int(cross)]})
 
-    sums = lab.map_batches(partial, batch_format="pandas") \
+    sums = paths.map_batches(partial, batch_format="pandas") \
         .sum(["n_paths", "hop_crossings"])
     n_paths = int(sums["sum(n_paths)"])
     crossings = int(sums["sum(hop_crossings)"])
@@ -250,41 +275,37 @@ def connected_components_ds(edges, *, max_rounds: int = 64,
 
 
 def bfs_partition_pruned(edges, pmap: pd.DataFrame, source, *,
-                         max_depth: int = 10) -> tuple[pd.DataFrame, float]:
-    """BFS that USES the partition map: edges are bucketed by their
-    source-vertex partition once (k filtered, pinned Datasets); each round
-    scans ONLY the partitions that hold frontier vertices. This is the
+                         max_depth: int = 10, labeled=None,
+                         k: int | None = None) -> tuple[pd.DataFrame, float]:
+    """BFS that USES the partition map: edges split by their source-vertex
+    partition in ONE sorted pass (``ops.split_by_partition`` — the k+1
+    filter().materialize() rescans of round 3 are gone); each round scans
+    ONLY the partitions that hold frontier vertices. This is the
     query-time payoff the reference's partition-quality sweeps measure —
     a locality-aware partitioning keeps each frontier inside few
     partitions, so most rounds touch a fraction of the edge data.
+
+    Vertices absent from the partition map route to a dedicated OVERFLOW
+    bucket (index k) scanned whenever the frontier holds an unmapped
+    vertex — an incomplete map degrades pruning, never correctness
+    (distances stay identical to ``bfs_layers``). Pass ``labeled`` (from
+    ``label_edges``) to share the annotated edge set with other consumers.
 
     Returns (distances frame — identical to ``bfs_layers`` — and the
     fraction of edge rows scanned relative to a full-scan BFS).
     """
     import ray
 
+    from .ops import split_by_partition
+
     vmap = dict(zip(pmap["vertex"], pmap["partition"]))
-    k = int(pmap["partition"].max()) + 1 if len(pmap) else 1
-    pref = ray.put(vmap)
-
-    def annotate(b: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(pref)
-        out = b.copy()
-        # sources absent from the partition map route to a dedicated
-        # OVERFLOW bucket (index k) that is scanned whenever the frontier
-        # holds an unmapped vertex — an incomplete map degrades pruning,
-        # never correctness (distances stay identical to bfs_layers)
-        out["p_src"] = out["src"].map(m).fillna(k).astype("int64")
-        return out
-
-    lab = edges.map_batches(annotate, batch_format="pandas") \
-        .repartition(max(k + 1, 8)).materialize()
-    parts = []
-    part_rows = []
-    for p in range(k + 1):
-        dsp = lab.filter(expr=f"p_src == {p}").materialize()
-        parts.append(dsp)
-        part_rows.append(dsp.count())
+    if k is None:
+        k = int(pmap["partition"].max()) + 1 if len(pmap) else 1
+    if labeled is None:
+        labeled = label_edges(edges, pmap, k)
+    parts, counts = split_by_partition(
+        labeled.select_columns(["src", "dst", "p_src"]), "p_src", k + 1)
+    part_rows = [int(c) for c in counts]
     total_rows = sum(part_rows)
 
     visited = {source: 0}

@@ -344,3 +344,298 @@ def assign_sources_salted(
             sizes[p] += shard_load
         out[src] = parts
     return out, sizes
+
+
+def _heavy_edge_matching(n: int, eu: np.ndarray, ev: np.ndarray,
+                         ew: np.ndarray, vw: np.ndarray, rng,
+                         max_vw: float) -> np.ndarray:
+    """One coarsening level: seeded-order heavy-edge matching with a
+    coarse-vertex WEIGHT CAP (``max_vw``) — without it a hub snowballs
+    level over level into one giant vertex heavier than any partition's
+    capacity, and no initial partition can be balanced. Returns the
+    coarse id of every fine vertex (matched pairs share one coarse id)."""
+    order = rng.permutation(n)
+    # CSR over the undirected weighted edges
+    deg = np.bincount(eu, minlength=n)
+    ptr = np.concatenate(([0], np.cumsum(deg)))
+    sort = np.argsort(eu, kind="stable")
+    adj_v = ev[sort]
+    adj_w = ew[sort]
+    match = np.full(n, -1, dtype=np.int64)
+    for v in order:
+        if match[v] != -1:
+            continue
+        s, e = ptr[v], ptr[v + 1]
+        best, best_w = -1, -1.0
+        for j in range(s, e):
+            u = adj_v[j]
+            if u == v or match[u] != -1 or vw[v] + vw[u] > max_vw:
+                continue
+            w = adj_w[j]
+            if w > best_w or (w == best_w and (best == -1 or u < best)):
+                best, best_w = u, w
+        if best != -1:
+            match[v] = best
+            match[best] = v
+        else:
+            match[v] = v
+    # coarse ids in fine-id order: pair keyed by its min member
+    rep = np.minimum(np.arange(n), match)
+    uniq, coarse = np.unique(rep, return_inverse=True)
+    del uniq
+    return coarse
+
+
+def _coarse_graph(coarse: np.ndarray, eu, ev, ew, vw):
+    """Aggregate parallel edges / vertex weights after matching; drops
+    intra-pair (self) edges."""
+    cu, cv = coarse[eu], coarse[ev]
+    m = cu != cv
+    cu, cv, cw = cu[m], cv[m], ew[m]
+    lo, hi = np.minimum(cu, cv), np.maximum(cu, cv)
+    key = lo * (coarse.max() + 1) + hi
+    uniq, inv = np.unique(key, return_inverse=True)
+    w = np.zeros(len(uniq))
+    np.add.at(w, inv, cw)
+    lo_u = (uniq // (coarse.max() + 1)).astype(np.int64)
+    hi_u = (uniq % (coarse.max() + 1)).astype(np.int64)
+    cvw = np.zeros(coarse.max() + 1)
+    np.add.at(cvw, coarse, vw)
+    return lo_u, hi_u, w, cvw
+
+
+def _greedy_initial(n, eu, ev, ew, vw, k, rng, capacity):
+    """Greedy graph growing (METIS GGGP shape) on the coarsest graph:
+    grow one region at a time from a heavy seed, always absorbing the
+    unassigned vertex with the largest edge weight INTO the region, until
+    the region reaches its weight target; leftovers pack least-loaded."""
+    ptr, adj_v, adj_w = _csr(n, eu, ev, ew)
+    part = np.full(n, -1, dtype=np.int64)
+    sizes = np.zeros(k)
+    target = vw.sum() / k
+    gain = np.zeros(n)  # connectivity of unassigned vertices to region p
+    del rng
+    for p in range(k - 1):
+        gain[:] = 0.0
+        # seed: heaviest-degree unassigned vertex
+        unassigned = part == -1
+        if not unassigned.any():
+            break
+        wdeg = np.zeros(n)
+        np.add.at(wdeg, eu, ew)
+        np.add.at(wdeg, ev, ew)
+        wdeg[~unassigned] = -1.0
+        v = int(np.argmax(wdeg))
+        while True:
+            part[v] = p
+            sizes[p] += vw[v]
+            for j in range(ptr[v], ptr[v + 1]):
+                u = adj_v[j]
+                if part[u] == -1:
+                    gain[u] += adj_w[j]
+            if sizes[p] + 1e-12 >= target:
+                break
+            gain[part != -1] = -1.0
+            v = int(np.argmax(gain))
+            if gain[v] <= 0.0:
+                # region ran out of frontier: jump to the heaviest
+                # unassigned vertex (new connected component)
+                cand = np.flatnonzero(part == -1)
+                if not len(cand):
+                    break
+                v = int(cand[np.argmax(vw[cand])])
+                if part[v] != -1:
+                    break
+    # remainder -> last region, overflow to least-loaded under capacity
+    for v in np.flatnonzero(part == -1):
+        p = k - 1
+        if sizes[p] + vw[v] > capacity:
+            p = int(np.argmin(sizes))
+        part[v] = p
+        sizes[p] += vw[v]
+    return part, sizes
+
+
+def _csr(n, eu, ev, ew):
+    """Symmetric CSR (both directions) for neighbor scans."""
+    u2 = np.concatenate([eu, ev])
+    v2 = np.concatenate([ev, eu])
+    w2 = np.concatenate([ew, ew])
+    deg = np.bincount(u2, minlength=n)
+    ptr = np.concatenate(([0], np.cumsum(deg)))
+    order = np.argsort(u2, kind="stable")
+    return ptr, v2[order], w2[order]
+
+
+def _refine(part, sizes, n, eu, ev, ew, vw, k, capacity, rng,
+            passes: int = 4):
+    """Boundary refinement (KL/FM-style single-vertex moves): move a
+    vertex to the partition holding most of its edge weight when the cut
+    gain is positive and balance is preserved."""
+    ptr, adj_v, adj_w = _csr(n, eu, ev, ew)
+    for _ in range(passes):
+        moved = 0
+        for v in rng.permutation(n):
+            s, e = ptr[v], ptr[v + 1]
+            if s == e:
+                continue
+            counts = np.zeros(k)
+            for j in range(s, e):
+                counts[part[adj_v[j]]] += adj_w[j]
+            cur = part[v]
+            tgt = int(np.argmax(counts))
+            if tgt == cur or counts[tgt] <= counts[cur]:
+                continue
+            if sizes[tgt] + vw[v] > capacity:
+                continue
+            part[v] = tgt
+            sizes[cur] -= vw[v]
+            sizes[tgt] += vw[v]
+            moved += 1
+        if moved == 0:
+            break
+    return part, sizes
+
+
+def _rebalance(part, sizes, n, eu, ev, ew, vw, k, capacity):
+    """Evict the cheapest boundary vertices from overloaded partitions
+    until every partition fits its capacity (the tighten-back step after
+    relaxed-capacity refinement on coarse levels)."""
+    ptr, adj_v, adj_w = _csr(n, eu, ev, ew)
+    for p in range(k):
+        if sizes[p] <= capacity:
+            continue
+        members = np.flatnonzero(part == p)
+        # eviction cost: edge weight to p minus best alternative
+        costs = []
+        for v in members:
+            counts = np.zeros(k)
+            for j in range(ptr[v], ptr[v + 1]):
+                counts[part[adj_v[j]]] += adj_w[j]
+            alt = np.copy(counts)
+            alt[p] = -1.0
+            tgt = int(np.argmax(alt))
+            costs.append((counts[p] - counts[tgt], v, tgt))
+        costs.sort()
+        for cost, v, tgt in costs:
+            if sizes[p] <= capacity:
+                break
+            if sizes[tgt] + vw[v] > capacity:
+                room = np.where(sizes + vw[v] <= capacity)[0]
+                if not len(room):
+                    continue
+                tgt = int(room[np.argmin(sizes[room])])
+            part[v] = tgt
+            sizes[p] -= vw[v]
+            sizes[tgt] += vw[v]
+    return part, sizes
+
+
+def offline_multilevel_partition(adj_df: "pd.DataFrame", k: int, *,
+                                 balance_slack: float = 0.05,
+                                 seed: int = 42,
+                                 coarsest_factor: int = 16,  # absolute floor
+
+                                 refine_passes: int = 4):
+    """Offline multilevel partitioner — the QUALITY CEILING the reference
+    sweeps alongside the streaming algorithms (every experiment matrix
+    includes 'metis': containers/analytics/parameters/twitter.json:13-34,
+    run_experiments.py:16-17, scripts/metis-partitioning/). Classic
+    three-phase shape: heavy-edge-matching coarsening, weighted greedy
+    initial partition on the coarsest graph, then uncoarsen with boundary
+    (KL/FM-style) refinement at every level.
+
+    Runs ON THE DRIVER over a pandas adjacency (vertex, neighbors) — an
+    offline baseline by definition, exactly like the reference shelling
+    out to the METIS binary; the streaming algorithms remain the scale
+    path. Returns (partition-map DataFrame, metrics dict shaped like
+    StreamingPartitioner.metrics)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    verts = adj_df["vertex"].to_numpy()
+    ids = np.sort(verts)
+    n = len(ids)
+    if n == 0:
+        return (pd.DataFrame({"vertex": [], "partition": []}),
+                {"algorithm": "offline", "k": k, "num_items": 0,
+                 "num_edges": 0, "num_edge_cut": 0, "edge_cut_ratio": 0.0,
+                 "sizes": [0.0] * k, "imbalance": 0.0, "capacity": 0.0})
+    vi = np.searchsorted(ids, verts)
+    srcs, dsts = [], []
+    for pos, nbrs in zip(vi, adj_df["neighbors"]):
+        for nb in nbrs:
+            j = np.searchsorted(ids, nb)
+            if j < n and ids[j] == nb:
+                srcs.append(pos)
+                dsts.append(j)
+    eu = np.asarray(srcs, dtype=np.int64)
+    ev = np.asarray(dsts, dtype=np.int64)
+    # undirected canonical edges, deduped, self-loops dropped
+    m = eu != ev
+    lo = np.minimum(eu[m], ev[m])
+    hi = np.maximum(eu[m], ev[m])
+    key = np.unique(lo * n + hi)
+    eu, ev = (key // n).astype(np.int64), (key % n).astype(np.int64)
+    ew = np.ones(len(eu))
+    vw = np.ones(n)
+    total_vw = vw.sum()
+    capacity = (total_vw / k) * (1.0 + balance_slack)
+
+    # ---- coarsen ---------------------------------------------------------
+    levels = []  # (coarse map, fine edge arrays) per level, finest first
+    cur_n, cu, cv, cw, cvw = n, eu, ev, ew, vw
+    # weight cap: coarse vertices stay well under a partition's capacity
+    # so the initial greedy can always balance
+    max_vw = capacity / 4.0
+    while cur_n > max(coarsest_factor, 4 * k) and len(levels) < 20:
+        coarse = _heavy_edge_matching(cur_n, cu, cv, cw, cvw, rng, max_vw)
+        nxt_n = int(coarse.max()) + 1
+        if nxt_n > 0.95 * cur_n:  # contraction stalled
+            break
+        levels.append((coarse, cu, cv, cw, cvw))
+        cu, cv, cw, cvw = _coarse_graph(coarse, cu, cv, cw, cvw)
+        cur_n = nxt_n
+
+    # ---- initial partition on the coarsest graph -------------------------
+    part, sizes = _greedy_initial(cur_n, cu, cv, cw, cvw, k, rng, capacity)
+    part, sizes = _refine(part, sizes, cur_n, cu, cv, cw, cvw, k,
+                          capacity, rng, passes=refine_passes)
+
+    # ---- uncoarsen + refine ----------------------------------------------
+    # intermediate levels refine under a RELAXED capacity (coarse vertices
+    # are heavy; exact capacity would freeze every move), tightening back
+    # to the real capacity at the finest level via a rebalance pass
+    n_lv = len(levels)
+    for li, (coarse, fu, fv, fw, fvw) in enumerate(reversed(levels)):
+        part = part[coarse]
+        sizes = np.zeros(k)
+        np.add.at(sizes, part, fvw)
+        finest = li == n_lv - 1
+        cap_l = capacity if finest else capacity * 1.25
+        part, sizes = _refine(part, sizes, len(coarse), fu, fv, fw, fvw,
+                              k, cap_l, rng, passes=refine_passes)
+        if finest:
+            part, sizes = _rebalance(part, sizes, len(coarse), fu, fv,
+                                     fw, fvw, k, capacity)
+            part, sizes = _refine(part, sizes, len(coarse), fu, fv, fw,
+                                  fvw, k, capacity, rng,
+                                  passes=refine_passes)
+    if not levels:  # graph was never coarsened
+        part, sizes = _rebalance(part, sizes, n, eu, ev, ew, vw, k,
+                                 capacity)
+
+    cut = float(ew[part[eu] != part[ev]].sum())
+    total_w = float(ew.sum())
+    pm = pd.DataFrame({"vertex": ids,
+                       "partition": part.astype(np.int32)})
+    mean = sizes.mean()
+    metrics = {
+        "algorithm": "offline", "k": k, "num_items": n,
+        "num_edges": int(total_w), "num_edge_cut": int(cut),
+        "edge_cut_ratio": cut / total_w if total_w else 0.0,
+        "sizes": sizes.tolist(),
+        "imbalance": float(sizes.max() / mean) if mean > 0 else 0.0,
+        "capacity": capacity,
+    }
+    return pm, metrics

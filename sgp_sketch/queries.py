@@ -2110,25 +2110,38 @@ def media_pipeline(sf_dir: str):
 def partition_workload_sweep(sf_dir: str):
     """The reference's analytics sweep (run_experiments.py:122-157,
     twitter.json:11-46) composed END TO END: for every partitioning
-    algorithm of the capped user-event graph, run the consumer workloads
-    over the partitioned data and emit the comparison table. Deterministic
-    metrics only (wall times live in bench/CLI): partition edge-cut +
-    imbalance, 2-hop partition crossings, partition-pruned-BFS scan
-    fraction, and per-workload result checksums for pagerank(20) / sssp /
-    connected components (identical across algorithms by construction —
-    their row in the table is the workload-completeness evidence)."""
-    from .analytics import (bfs_partition_pruned, connected_components,
-                            pagerank, sssp_distances,
-                            two_hop_cross_partition)
-    from .sources import partition_graph_stream, snap_to_adjacency
+    algorithm of the capped user-event graph — the three streaming
+    algorithms PLUS the offline multilevel quality ceiling (the
+    reference's 'metis' row, twitter.json:13-34) — run the consumer
+    workloads over the partitioned data and emit the comparison table.
+    Deterministic metrics only (wall times live in bench/CLI): partition
+    edge-cut + imbalance, 2-hop partition crossings, partition-pruned-BFS
+    scan fraction, and per-workload result checksums for pagerank(20) /
+    sssp / connected components (identical across algorithms by
+    construction — their row in the table is the workload-completeness
+    evidence).
 
-    edges = _event_graph_edges(sf_dir)
-    adj = snap_to_adjacency(edges)
-    # partition-INVARIANT workloads compute once; their checksum rows
-    # repeat per algorithm to keep the reference's cross-product shape
-    pr = pagerank(edges, iterations=20)
-    ss = sssp_distances(edges, "u0")
-    cc = connected_components(edges)
+    Shared work (VERDICT r03 ask #4): the three invariant workloads run
+    over ONE ShardedGraph build, and per algorithm the edges are labeled
+    with their partition ids ONCE (``label_edges``) and shared between
+    the 2-hop join and the pruned BFS."""
+    from .analytics import (bfs_partition_pruned, label_edges,
+                            two_hop_cross_partition)
+    from .partition import offline_multilevel_partition
+    from .sources import partition_graph_stream, snap_to_adjacency
+    from .vertexstate import ShardedGraph
+
+    # pin the capped edge stream once: the sharded build and the four
+    # per-algorithm labeling passes all consume it
+    edges = _event_graph_edges(sf_dir).materialize()
+    adj = snap_to_adjacency(edges).materialize()
+    # partition-INVARIANT workloads: ONE sharded build, three runs; their
+    # checksum rows repeat per algorithm to keep the reference's
+    # cross-product shape
+    g = ShardedGraph(edges)
+    pr = g.pagerank(iterations=20)
+    ss = g.sssp("u0")
+    cc = g.connected_components()
     invariant = [
         ("pagerank", "rank_checksum_e6",
          int(round(pr["rank"].sum() * 1_000_000))),
@@ -2137,17 +2150,22 @@ def partition_workload_sweep(sf_dir: str):
          int(cc["component"].nunique())),
     ]
     rows = []
-    for alg in ("hash", "ldg", "fennel"):
-        pm, met = partition_graph_stream(adj, k=8, algorithm=alg)
+    for alg in ("hash", "ldg", "fennel", "offline"):
+        if alg == "offline":
+            pm, met = offline_multilevel_partition(adj.to_pandas(), 8)
+        else:
+            pm, met = partition_graph_stream(adj, k=8, algorithm=alg)
         rows.append((alg, "partition", "edge_cut_e6",
                      int(round(met["edge_cut_ratio"] * 1_000_000))))
         rows.append((alg, "partition", "imbalance_e6",
                      int(round(met["imbalance"] * 1_000_000))))
-        th = two_hop_cross_partition(edges, pm)
+        lab = label_edges(edges, pm, 8)
+        th = two_hop_cross_partition(edges, pm, labeled=lab, k=8)
         rows.append((alg, "two_hop", "crossing_e6",
                      int(round(th["crossing_fraction"] * 1_000_000))))
         rows.append((alg, "two_hop", "n_paths", int(th["n_paths"])))
-        dist, frac = bfs_partition_pruned(edges, pm, "u0", max_depth=6)
+        dist, frac = bfs_partition_pruned(edges, pm, "u0", max_depth=6,
+                                          labeled=lab, k=8)
         rows.append((alg, "bfs_pruned", "scan_fraction_e6",
                      int(round(frac * 1_000_000))))
         rows.append((alg, "bfs_pruned", "n_reached", len(dist)))

@@ -216,3 +216,63 @@ class TestLoadModeAssigner:
         p = sp.assign("x")
         assert sp.assign("x") == p
         assert len(sp.assignment) == 1
+
+
+class TestOfflineMultilevel:
+    """Offline multilevel partitioner — the METIS-style quality ceiling
+    the reference sweeps alongside the streaming algorithms."""
+
+    def _clustered(self, n_clusters=4, size=12):
+        import pandas as pd
+
+        src, dst = [], []
+        for c in range(n_clusters):
+            for i in range(size):
+                for d in (1, 2, 3):
+                    src.append(f"c{c}v{i}")
+                    dst.append(f"c{c}v{(i + d) % size}")
+            src.append(f"c{c}v0")
+            dst.append(f"c{(c + 1) % n_clusters}v0")
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    def test_beats_fennel_on_clustered_fixture(self):
+        import ray.data as rd
+
+        from sgp_sketch.partition import offline_multilevel_partition
+        from sgp_sketch.sources import (partition_graph_stream,
+                                        snap_to_adjacency, undirect_edges)
+
+        und = undirect_edges(rd.from_pandas(self._clustered()))
+        adj = snap_to_adjacency(und).materialize()
+        _, fennel = partition_graph_stream(adj, k=4, algorithm="fennel")
+        pm, off = offline_multilevel_partition(adj.to_pandas(), 4)
+        # the quality ceiling: at most fennel's cut, balanced, total map
+        assert off["edge_cut_ratio"] <= fennel["edge_cut_ratio"]
+        assert off["imbalance"] <= 1.05 + 1e-9
+        assert len(pm) == adj.count()
+        assert set(pm["partition"].unique()) <= set(range(4))
+
+    def test_deterministic_and_balanced(self):
+        from sgp_sketch.partition import offline_multilevel_partition
+
+        import pandas as pd
+
+        adj = pd.DataFrame({
+            "vertex": [f"v{i}" for i in range(40)],
+            "neighbors": [[f"v{(i + 1) % 40}", f"v{(i + 2) % 40}"]
+                          for i in range(40)]})
+        pm1, m1 = offline_multilevel_partition(adj, 4, seed=9)
+        pm2, m2 = offline_multilevel_partition(adj, 4, seed=9)
+        assert pm1.equals(pm2)
+        assert m1["edge_cut_ratio"] == m2["edge_cut_ratio"]
+        cap = m1["capacity"]
+        assert max(m1["sizes"]) <= cap + 1e-9
+
+    def test_empty_graph(self):
+        import pandas as pd
+
+        from sgp_sketch.partition import offline_multilevel_partition
+
+        pm, m = offline_multilevel_partition(
+            pd.DataFrame({"vertex": [], "neighbors": []}), 4)
+        assert len(pm) == 0 and m["num_edges"] == 0
