@@ -433,3 +433,135 @@ def kmeans_assign(ds, *, n_centroids: int = 16, seed: int = 13,
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ann_query_table_topk(corpus_ds, query_ds, *, k: int = 10,
+                         n_centroids: int = 64, n_probe: int = 4,
+                         seed: int = 13, train_rows: int = 4096,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         query_id_col: str = "query_id",
+                         with_stats: bool = False):
+    """Query-TABLE ANN (VERDICT r03 ask #6): top-k cosine neighbors for a
+    query *Dataset* (millions of queries), not a broadcast query matrix.
+
+    Shape: one IVF coarse quantizer trained on a bounded corpus sample is
+    the ONLY broadcast state. Corpus rows route to their nearest cell;
+    query rows replicate to their ``n_probe`` nearest cells; both sides
+    union into one ``groupby(cell)`` (vectors packed to fixed-width bytes
+    — Ray's hash shuffle rejects list-typed columns) where each cell
+    brute-forces queries x corpus VECTORIZED. Per-(query, cell) top-k
+    partials then fold to the global per-query top-k inside 64 fixed hash
+    buckets (never a per-query groupby). Work is sublinear vs brute
+    force: sum_cells |Q_cell| x |C_cell| ~= (n_probe / n_centroids) x
+    |Q| x |C|.
+
+    ``with_stats=True`` additionally returns {"candidates",
+    "brute_force_pairs", "candidate_fraction"} computed from the
+    (n_centroids-sized) cell histograms — the sublinearity evidence.
+    """
+    import ray
+
+    # ---- train the coarse quantizer on a corpus sample ------------------
+    sample = corpus_ds.select_columns([vec_col]).limit(train_rows)
+    mats = [_stack(bt[vec_col])
+            for bt in sample.iter_batches(batch_format="pyarrow")]
+    cents = _spherical_kmeans(_normalize(np.vstack(mats)), n_centroids,
+                              seed=seed)
+    cref = ray.put(cents)
+    dim = cents.shape[1]
+
+    def _corpus_rows(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _normalize(_stack(t[vec_col]))
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = (x @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table({"cell": cell, "role": np.zeros(len(ids), np.int8),
+                         "rid": ids,
+                         "vb": [row.tobytes() for row in x]})
+
+    def _query_rows(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _normalize(_stack(t[vec_col]))
+        ids = t[query_id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sims = x @ c.T
+        probe = np.argsort(-sims, axis=1)[:, :n_probe]
+        rep = np.repeat(np.arange(len(ids)), n_probe)
+        return pa.table({"cell": probe.reshape(-1).astype(np.int64),
+                         "role": np.ones(len(rep), np.int8),
+                         "rid": ids[rep],
+                         "vb": [x[i].tobytes() for i in rep]})
+
+    crows = corpus_ds.map_batches(_corpus_rows, batch_format="pyarrow")
+    qrows = query_ds.map_batches(_query_rows, batch_format="pyarrow")
+    both = crows.union(qrows)
+
+    def _cell_topk(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            query_id_col: pd.Series([], dtype="int64"),
+            id_col: pd.Series([], dtype="int64"),
+            "sim": pd.Series([], dtype="float64")})
+        qm_ = g[g["role"] == 1]
+        cm_ = g[g["role"] == 0]
+        if not len(qm_) or not len(cm_):
+            return empty
+        Q = np.frombuffer(b"".join(qm_["vb"]), dtype=np.float64) \
+            .reshape(-1, dim)
+        C = np.frombuffer(b"".join(cm_["vb"]), dtype=np.float64) \
+            .reshape(-1, dim)
+        qids = qm_["rid"].to_numpy()
+        cids = cm_["rid"].to_numpy()
+        sims = Q @ C.T
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qids)), kk)
+        cols = idx.reshape(-1)
+        return pd.DataFrame({query_id_col: qids[rows],
+                             id_col: cids[cols],
+                             "sim": sims[rows, cols]})
+
+    partial = both.groupby("cell").map_groups(_cell_topk,
+                                              batch_format="pandas")
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        from .hashing import splitmix64
+        q = t[query_id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).astype(np.uint64)
+        return t.append_column(
+            "qb", pa.array((splitmix64(q) % np.uint64(64))
+                           .astype(np.int64)))
+
+    def _final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-bucket fold: one sort, cumcount rank, head-k —
+        # a query's partials from different cells may repeat a corpus id
+        # only if the corpus row landed in one cell (it does), so no dedup
+        g = g.sort_values([query_id_col, "sim", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        rank = g.groupby(query_id_col).cumcount() + 1
+        out = g[rank <= k].copy()
+        out["rank"] = rank[rank <= k].astype("int64")
+        return out[[query_id_col, id_col, "sim", "rank"]]
+
+    result = partial.map_batches(_bucket, batch_format="pyarrow") \
+        .groupby("qb").map_groups(_final_topk, batch_format="pandas")
+    if not with_stats:
+        return result
+
+    c_hist = np.zeros(n_centroids, dtype=np.int64)
+    q_hist = np.zeros(n_centroids, dtype=np.int64)
+    n_q = 0
+    n_c = 0
+    for b in crows.select_columns(["cell"]) \
+            .iter_batches(batch_format="pyarrow"):
+        c_hist += np.bincount(b["cell"].to_numpy(), minlength=n_centroids)
+        n_c += len(b["cell"])
+    for b in qrows.select_columns(["cell", "role"]) \
+            .iter_batches(batch_format="pyarrow"):
+        q_hist += np.bincount(b["cell"].to_numpy(), minlength=n_centroids)
+        n_q += len(b["cell"])
+    n_q //= n_probe
+    candidates = int((q_hist * c_hist).sum())
+    brute = int(n_q * n_c)
+    return result, {"candidates": candidates, "brute_force_pairs": brute,
+                    "candidate_fraction": candidates / brute if brute
+                    else 0.0}

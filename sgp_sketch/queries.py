@@ -2072,15 +2072,60 @@ def cms_heavy_hitters_all(sf_dir: str):
     return pd.concat([g, p[g.columns]], ignore_index=True)
 
 
+def _query_table_10k(sf_dir: str, n_queries: int = 10_000, seed: int = 29):
+    """Deterministic 10k-row query Dataset derived from the embeddings
+    table: each query is a corpus vector plus seeded jitter (no external
+    data; same table shape as a production query log)."""
+    import ray.data as rd
+
+    base = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    m = np.array(base["embedding"].to_pylist(), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    idx = np.arange(n_queries) % len(m)
+    q = m[idx] + 0.05 * rng.standard_normal((n_queries, m.shape[1]))
+    tables = [
+        pa.table({"query_id": pa.array(range(i, min(i + 2048, n_queries)),
+                                       pa.int64()),
+                  "embedding": pa.array(list(q[i:i + 2048]))})
+        for i in range(0, n_queries, 2048)
+    ]
+    return rd.from_arrow(tables)
+
+
+def ann_query_table_topk_q(sf_dir: str, *, k: int = 5,
+                           out_queries: int = 50) -> pd.DataFrame:
+    """Query-TABLE ANN over a deterministic 10k-query Dataset (the
+    million-query shape at miniature scale): bucket-keyed IVF join of
+    query cells x corpus cells — no broadcast query matrix anywhere. The
+    full 10k x corpus top-k computes distributed; the returned table is
+    the first ``out_queries`` queries (bounded driver row count)."""
+    from .ann import ann_query_table_topk
+
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = _query_table_10k(sf_dir)
+    res = ann_query_table_topk(corpus, queries, k=k, n_centroids=16,
+                               n_probe=4)
+    out = res.filter(expr=f"query_id < {out_queries}").to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    out["sim_e6"] = np.floor(out["sim"] * 1_000_000 + 0.5).astype("int64")
+    return out[["query_id", "vec_id", "sim_e6", "rank"]]
+
+
 def ann_variants_topk(sf_dir: str):
-    """Sub-quadratic ANN top-k, BOTH scale paths (hyperplane-LSH buckets
-    and IVF probe cells) in one table with a ``method`` column; recall vs
-    the oracle-paired brute-force ann_topk is asserted in pytest."""
+    """Sub-quadratic ANN top-k, ALL scale paths — hyperplane-LSH buckets,
+    IVF probe cells (broadcast query matrix), and the query-TABLE IVF
+    join (10k-query Dataset, no broadcast matrix) — in one table with a
+    ``method`` column; recall vs the oracle-paired brute-force ann_topk
+    is asserted in pytest."""
     frames = []
     for method, fn in (("lsh", lsh_ann_topk), ("ivf", ivf_ann_topk)):
         f = fn(sf_dir)
         f.insert(0, "method", method)
         frames.append(f)
+    qt = ann_query_table_topk_q(sf_dir)[["query_id", "vec_id", "rank"]]
+    qt.insert(0, "method", "ivf_qtable")
+    frames.append(qt)
     return pd.concat(frames, ignore_index=True)
 
 
