@@ -1879,7 +1879,31 @@ def embedding_dedup_clusters(sf_dir: str):
         batch_format="pandas")
 
 
-ROWS_ONLY_QUERIES["embedding_dedup_clusters"] = embedding_dedup_clusters
+# Oracle-paired (round 4, VERDICT r03 ask #8): the SQL composes the two
+# already-proven oracle patterns — the cosine_neardup pair predicate and
+# the dedup_clusters recursive-CTE component resolution. Same
+# ORACLE-SCALE note as dedup_clusters: the reach CTE is exact at the
+# driver's sf0.01 gate; the Ray side (pair self-join -> sharded CC) is
+# the scale path.
+EMBEDDING_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+),
+e AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+reach(v, lbl) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.v, reach.lbl FROM reach JOIN e ON reach.v = e.u
+)
+SELECT v AS vec_id, CAST(min(lbl) AS BIGINT) AS canonical_id
+FROM reach GROUP BY v
+"""
+
+EXACT_QUERIES["embedding_dedup_clusters"] = (embedding_dedup_clusters,
+                                             EMBEDDING_DEDUP_CLUSTERS_SQL)
 
 
 def cms_heavy_hitters_per_source(sf_dir: str):
@@ -2237,7 +2261,7 @@ ROWS_ONLY_QUERIES.update({
     "langid_preds": langid_preds,
     "ann_variants_topk": ann_variants_topk,
     "media_pipeline": media_pipeline,
-    "embedding_dedup_clusters": embedding_dedup_clusters,
+    # embedding_dedup_clusters: PROMOTED to EXACT_QUERIES in round 4
     "partition_workload_sweep": partition_workload_sweep,
     "packed_sequences": packed_sequences,
     "winnow_dup_pairs": winnow_dup_pairs_q,
