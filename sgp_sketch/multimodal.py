@@ -70,9 +70,15 @@ class MediaDecoder:
             raise ValueError("mode must be 'fake' or 'real'")
         self.mode = mode
         self.dim = feature_dim
-        # the real codec loads ONCE PER ACTOR here; import-guarded so the
-        # deterministic fake stays the CI path where Pillow is absent
+        # the real codecs load ONCE PER ACTOR here, one import guard per
+        # media_type so each modality independently upgrades to its real
+        # path wherever its codec exists (VERDICT r03 ask #9):
+        #   image -> Pillow (absent in this container: pytest importorskip)
+        #   audio -> stdlib `wave` (ALWAYS available: real WAV decode)
+        #   video -> PyAV   (absent in this container: pytest importorskip)
         self.pil = None
+        self.wave = None
+        self.av = None
         if mode == "real":
             try:
                 from PIL import Image  # noqa: F401
@@ -80,21 +86,50 @@ class MediaDecoder:
                 self.pil = Image
             except ImportError:
                 self.pil = None
+            try:
+                import wave
+
+                self.wave = wave
+            except ImportError:  # pragma: no cover - stdlib
+                self.wave = None
+            try:
+                import av  # noqa: F401
+
+                self.av = av
+            except ImportError:
+                self.av = None
+
+    def _hist(self, vals: np.ndarray) -> np.ndarray:
+        hist = np.bincount(vals.astype(np.int64) % self.dim,
+                           minlength=self.dim).astype(np.float64)
+        total = hist.sum()
+        return hist / total if total else hist
 
     def _decode_real(self, payload: bytes, media_type: str) -> np.ndarray:
-        if media_type == "image" and self.pil is not None:
-            import io
+        import io
 
+        if media_type == "image" and self.pil is not None:
             img = self.pil.open(io.BytesIO(payload)).convert("L")
-            arr = np.asarray(img, dtype=np.float64).reshape(-1)
-            hist = np.bincount((arr.astype(np.int64)) % self.dim,
-                               minlength=self.dim).astype(np.float64)
-            total = hist.sum()
-            return hist / total if total else hist
+            return self._hist(np.asarray(img, dtype=np.float64).reshape(-1))
+        if media_type == "audio" and self.wave is not None:
+            with self.wave.open(io.BytesIO(payload), "rb") as w:
+                raw = w.readframes(w.getnframes())
+                width = w.getsampwidth()
+            dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+            if dt is None:
+                raise ValueError(f"unsupported WAV sample width {width}")
+            samples = np.frombuffer(raw, dtype=dt).astype(np.int64)
+            return self._hist(np.abs(samples))
+        if media_type == "video" and self.av is not None:
+            with self.av.open(io.BytesIO(payload)) as container:
+                frame = next(container.decode(video=0))
+                arr = frame.to_ndarray(format="gray")
+            return self._hist(arr.astype(np.float64).reshape(-1))
         raise NotImplementedError(
-            "codec libraries (PIL/ffmpeg/torchaudio) are not available in "
-            "this environment (or this media_type has no codec); run with "
-            "mode='fake' for the deterministic stub"
+            f"no codec for media_type={media_type!r} in this environment "
+            "(image needs Pillow, video needs PyAV; audio WAV always "
+            "decodes via stdlib wave); run with mode='fake' for the "
+            "deterministic stub"
         )
 
     def _decode_fake(self, payload: bytes, media_type: str) -> np.ndarray:
@@ -109,11 +144,13 @@ class MediaDecoder:
         types = batch["media_type"].to_pylist()
         decode = self._decode_fake if self.mode == "fake" else self._decode_real
         feats = np.vstack([decode(p, t) for p, t in zip(payloads, types)])
+        n_bytes = (batch["n_bytes"] if "n_bytes" in batch.column_names
+                   else pa.array([len(p) for p in payloads], pa.int64()))
         return pa.Table.from_pydict(
             {
                 "media_id": batch["media_id"],
                 "media_type": batch["media_type"],
-                "n_bytes": batch["n_bytes"],
+                "n_bytes": n_bytes,
                 "features": pa.FixedSizeListArray.from_arrays(
                     pa.array(feats.reshape(-1), pa.float64()), self.dim
                 ),
