@@ -34,3 +34,7 @@ from .analytics import (  # noqa: E402,F401
     sssp_distances,
     two_hop_cross_partition,
 )
+from .partition import offline_multilevel_partition  # noqa: E402,F401
+from .ops import split_by_partition  # noqa: E402,F401
+from .vertexstate import ShardedGraph  # noqa: E402,F401
+from .ann import ann_query_table_topk  # noqa: E402,F401

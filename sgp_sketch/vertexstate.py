@@ -64,6 +64,9 @@ def _make_shard_class():
         arrays that never leave the actor."""
 
         # ---- build ----------------------------------------------------
+        def __init__(self):
+            self.reset(0, 1)  # benign empty state until a build resets us
+
         def reset(self, shard_id: int, k: int):
             self.sid = shard_id
             self.k = k
@@ -376,7 +379,7 @@ def _make_shard_class():
 
         # ---- output -----------------------------------------------------
         def n_owned(self) -> int:
-            return int(len(self.ids))
+            return int(len(self.ids)) if self.ids is not None else 0
 
         def collect_state(self):
             return self.ids, self.state
