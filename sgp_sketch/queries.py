@@ -671,6 +671,39 @@ def langid_preds(sf_dir: str):
                           concurrency=max(2, ncpu // 2))
 
 
+def _langid_oracle_sql() -> str:
+    """DuckDB oracle generated from the SAME profile dict the Ray stage
+    uses (text.LANG_PROFILES): per-language stopword hit counts (with
+    multiplicity) over space-split lowercase words; argmax with
+    alphabetical-first ties; zero hits -> 'en'."""
+    from .text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    hits = ",\n    ".join(
+        "sum(CASE WHEN w IN ({}) THEN 1 ELSE 0 END) AS {}".format(
+            ", ".join(f"'{s}'" for s in sorted(LANG_PROFILES[lang])), lang)
+        for lang in langs)
+    best = ", ".join(langs)
+    case = "\n      ".join(
+        f"WHEN {lang} = greatest({best}) THEN '{lang}'" for lang in langs)
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+scores AS (
+  SELECT doc_id,
+    {hits}
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, CASE
+      WHEN greatest({best}) = 0 THEN 'en'
+      {case}
+    END AS pred_lang
+FROM scores
+"""
+
+
 def winnow_fps(sf_dir: str):
     import ray
 
@@ -1905,6 +1938,11 @@ FROM reach GROUP BY v
 EXACT_QUERIES["embedding_dedup_clusters"] = (embedding_dedup_clusters,
                                              EMBEDDING_DEDUP_CLUSTERS_SQL)
 
+# Oracle-paired (round 4): the language-ID heuristic is hash-free and
+# fully SQL-expressible; its oracle string is GENERATED from the same
+# LANG_PROFILES dict the Ray stage reads, so the two sides cannot drift.
+EXACT_QUERIES["langid_preds"] = (langid_preds, _langid_oracle_sql())
+
 
 def cms_heavy_hitters_per_source(sf_dir: str):
     """GROUPED approximate heavy hitters: top-5 tokens per source from the
@@ -2258,7 +2296,7 @@ ROWS_ONLY_QUERIES.update({
     "partition_plans": partition_plans,
     "hdrf_user_event_graph": hdrf_user_event_graph,
     "simhash_pairs": simhash_pairs,
-    "langid_preds": langid_preds,
+    # langid_preds: PROMOTED to EXACT_QUERIES in round 4
     "ann_variants_topk": ann_variants_topk,
     "media_pipeline": media_pipeline,
     # embedding_dedup_clusters: PROMOTED to EXACT_QUERIES in round 4
