@@ -149,3 +149,54 @@ def test_shard_pool_reused_across_builds(rand_edges):
     pool2 = [a._actor_id for a in vs._POOL[4]]
     assert pool1 == pool2  # warm actors, no per-query cold start
     assert g2.n_vertices < g1.n_vertices  # state was reset, not shared
+
+
+def test_stale_graph_raises_after_pool_reset(rand_edges):
+    """Constructing a second ShardedGraph with the same k resets the
+    shared actor pool — a still-held earlier facade must raise, not
+    silently answer from the NEW graph's state (round-4 advice)."""
+    import pytest as _pytest
+
+    import sgp_sketch.vertexstate as vs
+
+    g1 = vs.ShardedGraph(_ds(rand_edges), k=4)
+    vs.ShardedGraph(_ds(rand_edges.head(100)), k=4)
+    with _pytest.raises(RuntimeError, match="stale ShardedGraph"):
+        g1.pagerank(iterations=1)
+
+
+def test_string_graph_hashed_keys(rand_edges):
+    """Object-id graphs hash to int64 keys inside the shards (round-4
+    verdict ask #4); CC components and sssp distances must match the
+    same graph run with integer ids, with original string ids on the
+    output."""
+    from sgp_sketch.vertexstate import ShardedGraph
+
+    e = rand_edges.head(500)
+    es = pd.DataFrame({"src": "v" + e["src"].astype(str),
+                       "dst": "v" + e["dst"].astype(str)})
+    gi = ShardedGraph(_ds(e), k=4)
+    cc_int = gi.connected_components().set_index("vertex")["component"]
+    ss_int = gi.sssp(int(e["src"].iloc[0]), max_rounds=12) \
+        .set_index("vertex")["dist"]
+    gs = ShardedGraph(_ds(es), k=4)
+    cc_str = gs.connected_components()
+    ss_str = gs.sssp("v" + str(int(e["src"].iloc[0])), max_rounds=12) \
+        .set_index("vertex")["dist"]
+    assert set(cc_str["vertex"]) == {f"v{v}" for v in cc_int.index}
+    # same component PARTITION (representatives may differ: the hashed
+    # path picks the min-HASH member, ints keep true min id)
+    int_groups = {}
+    for v, c in cc_int.items():
+        int_groups.setdefault(c, set()).add(f"v{v}")
+    str_groups = {}
+    for v, c in zip(cc_str["vertex"], cc_str["component"]):
+        str_groups.setdefault(c, set()).add(v)
+    assert sorted(map(sorted, int_groups.values())) \
+        == sorted(map(sorted, str_groups.values()))
+    # every component label is a MEMBER of its component (original id)
+    for c, members in str_groups.items():
+        assert c in members
+    # sssp distances identical under the id renaming
+    assert {f"v{v}": d for v, d in ss_int.items()} \
+        == dict(zip(ss_str.index, ss_str))
