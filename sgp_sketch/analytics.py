@@ -11,11 +11,13 @@ over the partitioned store: the LDBC 2-hop expansion
   join (never to the quadratic path set); the metric is partition
   switches per traversal hop. ``label_edges`` produces the shared
   annotated edge set per partition map.
-- ``bfs_layers`` / ``bidirectional_bfs_distance``: broadcast-frontier BFS
-  (the frontier is SPARSE — each round ships only the newly reached
-  vertex set; each round is one vectorized membership pass over the
-  edge Dataset). ``bfs_partition_pruned`` additionally scans only the
-  partitions holding frontier vertices.
+- ``bfs_layers`` / ``bidirectional_bfs_distance``: depth-capped BFS as
+  unit-weight frontier-sparse rounds on the SHARDED graph (visited
+  state in the shard actors; the driver sees refs and flags only).
+  ``bfs_partition_pruned`` reports, exactly, the fraction of edge rows
+  a partition-aware traversal scans (each round reads only the
+  partitions holding frontier vertices). ``bfs_layers_rescan`` keeps
+  the driver-frontier full-rescan baseline for comparison tests.
 - ``pagerank`` / ``sssp_distances`` / ``connected_components``: the
   reference's analytics parameter sweep runs exactly these three workloads
   over every partitioning (containers/analytics/parameters/twitter.json:35-46,
@@ -34,26 +36,61 @@ import pandas as pd
 import pyarrow as pa
 
 
+def partition_lookup(pmap: pd.DataFrame):
+    """(sorted vertex-hash array, aligned partition array) — the
+    broadcastable form of a vertex->partition map. Lookups are a native
+    ``np.searchsorted`` + equality check per endpoint instead of a
+    Python-level dict probe per row (VERDICT r04 ask #3), and both
+    arrays are numpy so ``ray.get`` of their refs is a zero-copy plasma
+    read in every task — no per-batch dict deserialization."""
+    from .hashing import hash_str
+
+    hv = hash_str(np.asarray(pmap["vertex"], dtype=object))
+    order = np.argsort(hv)
+    return hv[order], pmap["partition"].to_numpy()[order].astype(np.int64)
+
+
+def lookup_partitions(values, h_sorted: np.ndarray, p_sorted: np.ndarray,
+                      default: int) -> np.ndarray:
+    """Vectorized vertex->partition attach against ``partition_lookup``
+    arrays; absent vertices get ``default`` (the overflow id)."""
+    from .hashing import hash_str
+
+    v = hash_str(np.asarray(values, dtype=object))
+    if not len(h_sorted):
+        return np.full(len(v), default, dtype=np.int64)
+    pos = np.searchsorted(h_sorted, v)
+    posc = np.minimum(pos, len(h_sorted) - 1)
+    hit = h_sorted[posc] == v
+    return np.where(hit, p_sorted[posc], default).astype(np.int64)
+
+
 def label_edges(edges, pmap: pd.DataFrame, k: int):
     """Annotate every edge with its endpoints' partitions (p_src, p_dst)
     in ONE broadcast map-side pass; vertices absent from the map get the
     OVERFLOW id ``k``. Materialized so the sweep's consumers (2-hop join,
     pruned BFS) share one labeled edge set per partition map instead of
-    re-annotating per workload (VERDICT r03 ask #4)."""
+    re-annotating per workload (VERDICT r03 ask #4). The map broadcasts
+    as two numpy arrays (``ray.put`` once, zero-copy plasma reads per
+    task) and the attach is sorted-hash ``searchsorted`` — never a
+    per-row dict probe."""
     import ray
 
-    vmap = dict(zip(pmap["vertex"], pmap["partition"]))
-    pref = ray.put(vmap)
+    h_sorted, p_sorted = partition_lookup(pmap)
+    href, pref = ray.put(h_sorted), ray.put(p_sorted)
 
-    def annotate(b: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(pref)
-        out = b[["src", "dst"]].copy()
-        out["p_src"] = out["src"].map(m).fillna(k).astype("int64")
-        out["p_dst"] = out["dst"].map(m).fillna(k).astype("int64")
-        return out
+    def annotate(t: pa.Table) -> pa.Table:
+        hs, ps = ray.get(href), ray.get(pref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": t["src"], "dst": t["dst"],
+            "p_src": pa.array(lookup_partitions(src, hs, ps, k), pa.int64()),
+            "p_dst": pa.array(lookup_partitions(dst, hs, ps, k), pa.int64()),
+        })
 
-    return edges.map_batches(annotate,
-                             batch_format="pandas").materialize()
+    return edges.select_columns(["src", "dst"]).map_batches(
+        annotate, batch_format="pyarrow").materialize()
 
 
 def two_hop_cross_partition(edges, pmap: pd.DataFrame, *,
@@ -109,15 +146,34 @@ def two_hop_cross_partition(edges, pmap: pd.DataFrame, *,
 
 
 def bfs_layers(edges, source: str, *, max_depth: int = 10) -> pd.DataFrame:
-    """Single-source BFS distances via broadcast-frontier rounds.
-
-    Each round: the frontier set ships once (``ray.put``); one vectorized
-    ``isin`` pass over the edge Dataset emits next-hop vertices (deduped
-    in-batch); the driver keeps only the visited map (vertex-scale). A
-    real deployment prunes each round's scan to the partitions holding
-    frontier vertices (that is what the partition map is FOR) — the full
-    scan here is the partition-free baseline.
+    """Single-source BFS distances — unit-weight frontier-sparse rounds
+    on the SHARDED graph (round-4 verdict ask #2): per-vertex visited
+    state lives in the shard actors, each round relaxes only edges whose
+    source entered the frontier last round, and the driver exchanges
+    refs and per-shard changed flags — never a frontier set or a
+    visited map. Unit-weight Bellman-Ford rounds ARE BFS: after round r
+    every distance <= r is final, so ``max_rounds=max_depth`` yields
+    exactly the depth-capped layer set.
     """
+    from .vertexstate import ShardedGraph
+
+    out = ShardedGraph(edges).sssp(source, max_rounds=max_depth)
+    out = out.reset_index(drop=True)
+    if not len(out):
+        # a source with no incident edges is still a BFS layer of one
+        return pd.DataFrame({"vertex": pd.Series([source], dtype=object),
+                             "dist": pd.Series([0], dtype="int64")})
+    return pd.DataFrame({"vertex": out["vertex"],
+                         "dist": out["dist"].astype("int64")})
+
+
+def bfs_layers_rescan(edges, source: str, *,
+                      max_depth: int = 10) -> pd.DataFrame:
+    """Driver-frontier full-rescan BFS — the partition-free BASELINE the
+    pruned/sharded variants are measured against (kept for tests and as
+    the O(depth x E) reference point; it re-scans the whole edge Dataset
+    every round and holds the visited map on the driver — do not use it
+    on large graphs)."""
     import ray
 
     visited = {source: 0}
@@ -146,52 +202,24 @@ def bfs_layers(edges, source: str, *, max_depth: int = 10) -> pd.DataFrame:
 
 def bidirectional_bfs_distance(edges, src: str, dst: str, *,
                                max_depth: int = 10) -> int | None:
-    """Shortest-path length via bidirectional BFS (the reference's smoke
-    workload, shortestPathTest.groovy:166-219): expand the SMALLER frontier
-    each round, from both endpoints, until the visited sets meet.
+    """Shortest-path length between two vertices (the reference's smoke
+    workload, shortestPathTest.groovy:166-219), depth-capped.
+
+    Runs as ONE depth-capped sharded BFS from ``src`` (state in the
+    shard actors — the driver never holds a visited set) and reads
+    ``dst``'s layer. The classical bidirectional meet-in-the-middle trick
+    trades the second frontier for half the depth; with frontier-sparse
+    SHARDED rounds each extra round is k actor calls on state already in
+    place, so the single-direction form is both simpler and free of the
+    driver-side visited dicts the old implementation kept.
 
     ``edges`` must be undirected (see sources.undirect_edges).
     """
-    import ray
-
     if src == dst:
         return 0
-    vis_f = {src: 0}
-    vis_b = {dst: 0}
-    front_f, front_b = {src}, {dst}
-    d_f = d_b = 0
-
-    def expand_once(frontier: set) -> set:
-        fref = ray.put(frontier)
-
-        def expand(batch: pd.DataFrame) -> pd.DataFrame:
-            f = ray.get(fref)
-            hit = batch.loc[batch["src"].isin(f), "dst"].unique()
-            return pd.DataFrame({"v": pd.Series(hit, dtype=object)})
-
-        nxt: set = set()
-        for b in edges.map_batches(expand, batch_format="pandas") \
-                .iter_batches(batch_format="pyarrow"):
-            nxt.update(b["v"].to_pylist())
-        return nxt
-
-    while front_f and front_b and d_f + d_b < max_depth:
-        if len(front_f) <= len(front_b):
-            d_f += 1
-            nxt = expand_once(front_f)
-            front_f = {v for v in nxt if v not in vis_f}
-            for v in front_f:
-                vis_f[v] = d_f
-        else:
-            d_b += 1
-            nxt = expand_once(front_b)
-            front_b = {v for v in nxt if v not in vis_b}
-            for v in front_b:
-                vis_b[v] = d_b
-        meet = set(vis_f) & set(vis_b)
-        if meet:
-            return min(vis_f[v] + vis_b[v] for v in meet)
-    return None
+    dist = bfs_layers(edges, src, max_depth=max_depth)
+    hit = dist.loc[dist["vertex"] == dst, "dist"]
+    return int(hit.iloc[0]) if len(hit) else None
 
 
 # ---------------------------------------------------------------------------
@@ -276,66 +304,64 @@ def connected_components_ds(edges, *, max_rounds: int = 64,
 
 def bfs_partition_pruned(edges, pmap: pd.DataFrame, source, *,
                          max_depth: int = 10, labeled=None,
-                         k: int | None = None) -> tuple[pd.DataFrame, float]:
-    """BFS that USES the partition map: edges split by their source-vertex
-    partition in ONE sorted pass (``ops.split_by_partition`` — the k+1
-    filter().materialize() rescans of round 3 are gone); each round scans
-    ONLY the partitions that hold frontier vertices. This is the
-    query-time payoff the reference's partition-quality sweeps measure —
-    a locality-aware partitioning keeps each frontier inside few
-    partitions, so most rounds touch a fraction of the edge data.
+                         k: int | None = None,
+                         dist: pd.DataFrame | None = None
+                         ) -> tuple[pd.DataFrame, float]:
+    """Partition-pruned BFS: distances come from the SHARDED frontier
+    rounds (``bfs_layers`` — round-4 verdict ask #2: no driver visited
+    dict, no per-round edge rescans), and the pruning metric — the
+    fraction of edge rows a partition-aware traversal scans, where each
+    round reads ONLY the partitions holding frontier vertices — is
+    computed exactly from the layer sets: round d scans the partitions
+    of layer d-1, so scanned = sum over rounds of the touched
+    partitions' edge-row counts. A locality-aware partitioning keeps
+    each frontier inside few partitions; that fraction is the query-time
+    payoff the reference's partition-quality sweeps measure.
 
-    Vertices absent from the partition map route to a dedicated OVERFLOW
-    bucket (index k) scanned whenever the frontier holds an unmapped
-    vertex — an incomplete map degrades pruning, never correctness
-    (distances stay identical to ``bfs_layers``). Pass ``labeled`` (from
-    ``label_edges``) to share the annotated edge set with other consumers.
+    Vertices absent from the partition map count against a dedicated
+    OVERFLOW bucket (index k) — an incomplete map degrades pruning,
+    never correctness (distances are ``bfs_layers``'s by construction).
+    Pass ``labeled`` (from ``label_edges``) to share the annotated edge
+    set with other consumers, and ``dist`` (a ``bfs_layers`` result for
+    the same source/depth) to share the partition-INVARIANT distance
+    computation across per-algorithm sweep rows.
 
     Returns (distances frame — identical to ``bfs_layers`` — and the
     fraction of edge rows scanned relative to a full-scan BFS).
     """
-    import ray
-
-    from .ops import split_by_partition
-
-    vmap = dict(zip(pmap["vertex"], pmap["partition"]))
     if k is None:
         k = int(pmap["partition"].max()) + 1 if len(pmap) else 1
     if labeled is None:
         labeled = label_edges(edges, pmap, k)
-    parts, counts = split_by_partition(
-        labeled.select_columns(["src", "dst", "p_src"]), "p_src", k + 1)
-    part_rows = [int(c) for c in counts]
-    total_rows = sum(part_rows)
+    if dist is None:
+        dist = bfs_layers(edges, source, max_depth=max_depth)
 
-    visited = {source: 0}
-    frontier = {source}
+    # per-partition edge-row counts: one vectorized count fold over the
+    # labeled set (no sort, no split — only the counts matter here)
+    part_rows = np.zeros(k + 1, dtype=np.int64)
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        c = np.bincount(t["p_src"].to_numpy(zero_copy_only=False),
+                        minlength=k + 1).astype(np.int64)
+        return pa.table({"p": np.arange(k + 1, dtype=np.int64), "n": c})
+
+    for b in labeled.select_columns(["p_src"]) \
+            .map_batches(_cnt, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        np.add.at(part_rows, b["p"].to_numpy(), b["n"].to_numpy())
+    total_rows = int(part_rows.sum())
+
+    # exact scan accounting from the layers: round d (1-based) scans the
+    # distinct partitions of layer d-1; rounds stop after the first
+    # empty layer (the old frontier loop's stopping rule, reproduced)
+    h_sorted, p_sorted = partition_lookup(pmap)
+    pv = lookup_partitions(dist["vertex"].to_numpy(), h_sorted, p_sorted, k)
+    dv = dist["dist"].to_numpy()
+    max_layer = int(dv.max()) if len(dv) else 0
+    rounds = min(max_layer + 1, max_depth)
     scanned = 0
-    rounds = 0
-    for depth in range(1, max_depth + 1):
-        touch = sorted({vmap.get(v, k) for v in frontier})
-        if not touch:
-            break
-        rounds += 1
-        scanned += sum(part_rows[p] for p in touch)
-        fref = ray.put(frontier)
-
-        def expand(batch: pd.DataFrame) -> pd.DataFrame:
-            f = ray.get(fref)
-            hit = batch.loc[batch["src"].isin(f), "dst"].unique()
-            return pd.DataFrame({"v": pd.Series(hit, dtype=object)})
-
-        nxt: set = set()
-        for p in touch:
-            for b in parts[p].map_batches(expand, batch_format="pandas") \
-                    .iter_batches(batch_format="pyarrow"):
-                nxt.update(b["v"].to_pylist())
-        frontier = {v for v in nxt if v not in visited}
-        if not frontier:
-            break
-        for v in frontier:
-            visited[v] = depth
-    out = pd.DataFrame(sorted(visited.items()), columns=["vertex", "dist"])
-    out["dist"] = out["dist"].astype("int64")
+    for layer in range(rounds):
+        touch = np.unique(pv[dv == layer])
+        scanned += int(part_rows[touch].sum())
     frac = scanned / (total_rows * max(rounds, 1)) if total_rows else 0.0
-    return out, frac
+    return dist, frac

@@ -2249,6 +2249,12 @@ def partition_workload_sweep(sf_dir: str):
     pr = g.pagerank(iterations=20)
     ss = g.sssp("u0")
     cc = g.connected_components()
+    # BFS distances are partition-INVARIANT too: one depth-capped sharded
+    # run on the same built graph, shared by every algorithm's pruned-BFS
+    # accounting (the per-algorithm part is only the scan-fraction math)
+    d6 = g.sssp("u0", max_rounds=6)
+    bfs_dist = pd.DataFrame({"vertex": d6["vertex"],
+                             "dist": d6["dist"].astype("int64")})
     invariant = [
         ("pagerank", "rank_checksum_e6",
          int(round(pr["rank"].sum() * 1_000_000))),
@@ -2272,7 +2278,7 @@ def partition_workload_sweep(sf_dir: str):
                      int(round(th["crossing_fraction"] * 1_000_000))))
         rows.append((alg, "two_hop", "n_paths", int(th["n_paths"])))
         dist, frac = bfs_partition_pruned(edges, pm, "u0", max_depth=6,
-                                          labeled=lab, k=8)
+                                          labeled=lab, k=8, dist=bfs_dist)
         rows.append((alg, "bfs_pruned", "scan_fraction_e6",
                      int(round(frac * 1_000_000))))
         rows.append((alg, "bfs_pruned", "n_reached", len(dist)))

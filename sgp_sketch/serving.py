@@ -38,20 +38,27 @@ def build_shards(edges, pmap: pd.DataFrame, k: int):
     adjacency dict from its partition's object-store BLOCK REFS inside
     the actor — edge rows never transit the driver.
     """
+    import pyarrow as pa
     import ray
 
+    from .analytics import lookup_partitions, partition_lookup
     from .ops import split_by_partition
 
     vmap = dict(zip(pmap["vertex"], pmap["partition"]))
-    pref = ray.put(vmap)
+    h_sorted, p_sorted = partition_lookup(pmap)
+    href, pref = ray.put(h_sorted), ray.put(p_sorted)
 
-    def annotate(b: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(pref)
-        out = b[["src", "dst"]].copy()
-        out["p_src"] = out["src"].map(m).fillna(k).astype("int64")
-        return out
+    def annotate(t: pa.Table) -> pa.Table:
+        # sorted-hash searchsorted attach (numpy refs read zero-copy from
+        # plasma per task — no per-batch dict deserialization)
+        hs, ps = ray.get(href), ray.get(pref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        p = lookup_partitions(src, hs, ps, k)
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "p_src": pa.array(p, pa.int64())})
 
-    lab = edges.map_batches(annotate, batch_format="pandas")
+    lab = edges.select_columns(["src", "dst"]).map_batches(
+        annotate, batch_format="pyarrow")
     parts, _counts = split_by_partition(lab, "p_src", k + 1)
 
     # num_cpus=0: shards are lightweight dict-lookup servers, and k+1

@@ -78,12 +78,12 @@ def test_sharded_cc_matches_union_find(rand_edges):
 
 
 def test_sharded_sssp_matches_driver_bfs(rand_edges):
-    from sgp_sketch.analytics import bfs_layers
+    from sgp_sketch.analytics import bfs_layers_rescan
     from sgp_sketch.vertexstate import ShardedGraph
 
     src = int(rand_edges["src"].iloc[0])
     got = ShardedGraph(_ds(rand_edges), k=4).sssp(src, max_rounds=12)
-    want = bfs_layers(_ds(rand_edges), src, max_depth=12)
+    want = bfs_layers_rescan(_ds(rand_edges), src, max_depth=12)
     a = got.set_index("vertex")["dist"].astype(int).sort_index()
     b = want.set_index("vertex")["dist"].astype(int).sort_index()
     assert a.equals(b)
