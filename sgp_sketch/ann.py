@@ -461,6 +461,10 @@ def ann_query_table_topk(corpus_ds, query_ds, *, k: int = 10,
     """
     import ray
 
+    # probing more cells than exist is just a full scan of every cell
+    # (and unclamped it would mis-shape _query_rows' replication)
+    n_probe = min(n_probe, n_centroids)
+
     # ---- train the coarse quantizer on a corpus sample ------------------
     sample = corpus_ds.select_columns([vec_col]).limit(train_rows)
     mats = [_stack(bt[vec_col])

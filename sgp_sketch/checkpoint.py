@@ -355,6 +355,11 @@ def append_increment(
                                          if r["scope"] == SCOPE_GLOBAL))
                 ent["n_tokens"] += int(sum(r["n_tokens"] for r in rows
                                            if r["scope"] == SCOPE_GLOBAL))
+                # n_scopes from the PUBLISHED parquet (the increment may
+                # have introduced scopes the stale manifest entry missed)
+                ent["n_scopes"] = len(set(
+                    pq.read_table(base_path, columns=["scope"])["scope"]
+                    .to_pylist()))
                 ent.setdefault("increments", []).append({
                     "id": inc_id,
                     "input_files": input_files or [],

@@ -5,12 +5,20 @@ Images/audio/video are treated as ``binary`` columns with metadata columns
 frame-sample run as actor-pool ``map_batches`` stages with small batch
 sizes (large binary payloads — guide: memory-aware batches).
 
-The decode libraries (PIL/torchaudio/ffmpeg) are NOT in this container, so
-the codec step is STUBBED: ``mode="fake"`` produces deterministic
-pseudo-features from the payload bytes (so the Ray-side plumbing — schema,
-batch size, actor signature, output layout — is real and tested), and
-``mode="real"`` raises ``NotImplementedError`` at the exact point a codec
-would be called.
+Decode status per modality (``mode="real"``):
+
+- **audio** — REAL: WAV payloads parse via the stdlib ``wave`` codec
+  (always available).
+- **image** — REAL for uncompressed formats: binary PNM (P5/P6) and
+  24-bit uncompressed BMP decode via pure-stdlib/numpy parsers (always
+  available); compressed formats (PNG/JPEG) decode via Pillow where it
+  is importable (not in this container — importorskip'd tests).
+- **video** — PyAV where importable (not in this container); otherwise
+  the declared ``NotImplementedError``.
+
+``mode="fake"`` produces deterministic pseudo-features from the payload
+bytes, so the Ray-side plumbing — schema, batch size, actor signature,
+output layout — is exercised regardless of which codecs exist.
 """
 
 from __future__ import annotations
@@ -29,6 +37,69 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 FEATURE_DIM = 16
+
+# grayscale weights (ITU-R BT.601), RGB order
+_RGB_W = np.array([0.299, 0.587, 0.114])
+
+
+def parse_pnm_gray(payload: bytes) -> np.ndarray | None:
+    """Decode a BINARY PNM image (P5 grayscale / P6 RGB) to a flat
+    grayscale float array — a real, pure-stdlib image codec for the
+    environments where Pillow is absent. Returns None if the payload is
+    not binary PNM."""
+    import re
+
+    m = re.match(rb"(P[56])\s+(?:#[^\n]*[\r\n]\s*)*"
+                 rb"(\d+)\s+(?:#[^\n]*[\r\n]\s*)*(\d+)\s+"
+                 rb"(?:#[^\n]*[\r\n]\s*)*(\d+)[ \t]*[\r\n]", payload)
+    if m is None:
+        return None
+    kind = m.group(1)
+    w, h, maxv = (int(m.group(i)) for i in (2, 3, 4))
+    ch = 3 if kind == b"P6" else 1
+    dt = np.dtype(np.uint8) if maxv < 256 else np.dtype(">u2")
+    need = w * h * ch
+    if len(payload) - m.end() < need * dt.itemsize:
+        raise ValueError("truncated PNM payload")
+    arr = np.frombuffer(payload, dtype=dt, count=need,
+                        offset=m.end()).astype(np.float64)
+    if ch == 3:
+        arr = arr.reshape(-1, 3) @ _RGB_W
+    return arr
+
+
+def parse_bmp_gray(payload: bytes) -> np.ndarray | None:
+    """Decode an uncompressed 24-bit BMP to a flat grayscale float array
+    (pure stdlib/numpy). Returns None if the payload is not such a BMP."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    hh = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    if len(payload) - data_off < row_bytes * hh:
+        raise ValueError("truncated BMP payload")
+    buf = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * hh,
+                        offset=data_off)
+    grid = buf.reshape(hh, row_bytes)[:, : w * 3] \
+        .reshape(hh, w, 3).astype(np.float64)
+    if h > 0:  # positive height = bottom-up row order
+        grid = grid[::-1]
+    return (grid @ _RGB_W[::-1]).reshape(-1)  # BMP stores BGR
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6) — the test-side
+    twin of ``parse_pnm_gray``."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
 
 
 def synthesize_media_dataset(sf_dir: str):
@@ -108,9 +179,18 @@ class MediaDecoder:
     def _decode_real(self, payload: bytes, media_type: str) -> np.ndarray:
         import io
 
-        if media_type == "image" and self.pil is not None:
-            img = self.pil.open(io.BytesIO(payload)).convert("L")
-            return self._hist(np.asarray(img, dtype=np.float64).reshape(-1))
+        if media_type == "image":
+            # uncompressed formats decode with the built-in parsers in
+            # EVERY environment; Pillow extends coverage to PNG/JPEG/...
+            px = parse_pnm_gray(payload)
+            if px is None:
+                px = parse_bmp_gray(payload)
+            if px is not None:
+                return self._hist(px)
+            if self.pil is not None:
+                img = self.pil.open(io.BytesIO(payload)).convert("L")
+                return self._hist(
+                    np.asarray(img, dtype=np.float64).reshape(-1))
         if media_type == "audio" and self.wave is not None:
             with self.wave.open(io.BytesIO(payload), "rb") as w:
                 raw = w.readframes(w.getnframes())
@@ -126,10 +206,10 @@ class MediaDecoder:
                 arr = frame.to_ndarray(format="gray")
             return self._hist(arr.astype(np.float64).reshape(-1))
         raise NotImplementedError(
-            f"no codec for media_type={media_type!r} in this environment "
-            "(image needs Pillow, video needs PyAV; audio WAV always "
-            "decodes via stdlib wave); run with mode='fake' for the "
-            "deterministic stub"
+            f"no codec for media_type={media_type!r} payload in this "
+            "environment (PNM/BMP images and WAV audio always decode via "
+            "the built-in parsers; compressed images need Pillow, video "
+            "needs PyAV); run with mode='fake' for the deterministic stub"
         )
 
     def _decode_fake(self, payload: bytes, media_type: str) -> np.ndarray:

@@ -355,12 +355,19 @@ def _heavy_edge_matching(n: int, eu: np.ndarray, ev: np.ndarray,
     capacity, and no initial partition can be balanced. Returns the
     coarse id of every fine vertex (matched pairs share one coarse id)."""
     order = rng.permutation(n)
-    # CSR over the undirected weighted edges
-    deg = np.bincount(eu, minlength=n)
+    # CSR over the undirected weighted edges, SYMMETRIZED: edges arrive
+    # canonical lo->hi, so without the reverse copies a vertex appearing
+    # only as the larger endpoint has empty adjacency and can never
+    # initiate a match — coarsening stalls early (quality, not
+    # correctness; refinement's _csr already symmetrizes)
+    su = np.concatenate([eu, ev])
+    sv = np.concatenate([ev, eu])
+    sw = np.concatenate([ew, ew])
+    deg = np.bincount(su, minlength=n)
     ptr = np.concatenate(([0], np.cumsum(deg)))
-    sort = np.argsort(eu, kind="stable")
-    adj_v = ev[sort]
-    adj_w = ew[sort]
+    sort = np.argsort(su, kind="stable")
+    adj_v = sv[sort]
+    adj_w = sw[sort]
     match = np.full(n, -1, dtype=np.int64)
     for v in order:
         if match[v] != -1:
@@ -531,12 +538,16 @@ def _rebalance(part, sizes, n, eu, ev, ew, vw, k, capacity):
     return part, sizes
 
 
+OFFLINE_MAX_VERTICES = 2_000_000
+
+
 def offline_multilevel_partition(adj_df: "pd.DataFrame", k: int, *,
                                  balance_slack: float = 0.05,
                                  seed: int = 42,
                                  coarsest_factor: int = 16,  # absolute floor
 
-                                 refine_passes: int = 4):
+                                 refine_passes: int = 4,
+                                 max_vertices: int = OFFLINE_MAX_VERTICES):
     """Offline multilevel partitioner — the QUALITY CEILING the reference
     sweeps alongside the streaming algorithms (every experiment matrix
     includes 'metis': containers/analytics/parameters/twitter.json:13-34,
@@ -548,7 +559,10 @@ def offline_multilevel_partition(adj_df: "pd.DataFrame", k: int, *,
     Runs ON THE DRIVER over a pandas adjacency (vertex, neighbors) — an
     offline baseline by definition, exactly like the reference shelling
     out to the METIS binary; the streaming algorithms remain the scale
-    path. Returns (partition-map DataFrame, metrics dict shaped like
+    path. ``max_vertices`` guards the driver heap: a bigger graph raises
+    with pointers to the scale paths (streaming LDG/Fennel/HDRF, or
+    coarsen first) instead of grinding into an OOM. Returns
+    (partition-map DataFrame, metrics dict shaped like
     StreamingPartitioner.metrics)."""
     import pandas as pd
 
@@ -556,6 +570,14 @@ def offline_multilevel_partition(adj_df: "pd.DataFrame", k: int, *,
     verts = adj_df["vertex"].to_numpy()
     ids = np.sort(verts)
     n = len(ids)
+    if n > max_vertices:
+        raise ValueError(
+            f"offline_multilevel_partition is a DRIVER-side quality "
+            f"baseline capped at {max_vertices:,} vertices (got {n:,}). "
+            "For larger graphs use the streaming partitioners "
+            "(partition_graph_stream: ldg/fennel, or hdrf_partition_"
+            "edges), or pre-coarsen/sample the graph and raise "
+            "max_vertices explicitly.")
     if n == 0:
         return (pd.DataFrame({"vertex": [], "partition": []}),
                 {"algorithm": "offline", "k": k, "num_items": 0,

@@ -522,6 +522,61 @@ class TestPerCodecRealPaths:
         out2 = media_features(ds, mode="real").to_pandas()
         assert np.allclose(feats, np.array(out2["features"].tolist()))
 
+    def test_real_image_ppm_bmp_decode_in_this_container(self):
+        """Image is not Pillow-gated anymore: binary PNM and uncompressed
+        24-bit BMP payloads decode via the built-in parsers — a REAL
+        image decode test that runs un-skipped in this container."""
+        import struct
+
+        import pandas as pd
+        import ray.data as rd
+
+        from sgp_sketch.multimodal import (encode_ppm, media_features,
+                                           parse_bmp_gray, parse_pnm_gray)
+
+        rng = np.random.default_rng(11)
+        rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        ppm = encode_ppm(rgb)
+        # hand-rolled bottom-up 24-bit BMP of the same pixels
+        w = h = 8
+        row = (w * 3 + 3) & ~3
+        bgr = rgb[::-1][:, :, ::-1]  # bottom-up rows, BGR channels
+        body = b"".join(bgr[r].tobytes().ljust(row, b"\0")
+                        for r in range(h))
+        bmp = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                             len(body), 2835, 2835, 0, 0) + body)
+        # both parsers recover the SAME grayscale pixels
+        g1 = parse_pnm_gray(ppm)
+        g2 = parse_bmp_gray(bmp)
+        assert g1 is not None and g2 is not None
+        assert np.allclose(np.sort(g1), np.sort(g2))
+        # and the real decode stage consumes them end-to-end, no codec lib
+        ds = rd.from_pandas(pd.DataFrame({
+            "media_id": ["p0", "b0"], "media_type": ["image"] * 2,
+            "payload": [ppm, bmp]}))
+        out = media_features(ds, mode="real").to_pandas() \
+            .sort_values("media_id").reset_index(drop=True)
+        feats = np.array(out["features"].tolist(), dtype=np.float64)
+        assert feats.shape == (2, 16)
+        assert np.allclose(feats.sum(axis=1), 1.0)
+
+    def test_real_image_rejects_garbage_payload(self):
+        """A payload that is neither PNM/BMP nor Pillow-decodable raises
+        (proof the image path parses rather than hashing bytes)."""
+        import pyarrow as pa
+
+        from sgp_sketch.multimodal import MediaDecoder
+
+        dec = MediaDecoder(mode="real")
+        if dec.pil is not None:
+            pytest.skip("Pillow present: garbage may raise its own error")
+        batch = pa.table({"media_id": ["m0"], "media_type": ["image"],
+                          "payload": [b"definitely not an image"],
+                          "n_bytes": [24]})
+        with pytest.raises(NotImplementedError, match="codec"):
+            dec(batch)
+
     def test_real_audio_rejects_garbage_payload(self):
         """A non-WAV payload fails the REAL decode (proof it's parsing,
         not hashing bytes like the fake path)."""

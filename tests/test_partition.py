@@ -276,3 +276,19 @@ class TestOfflineMultilevel:
         pm, m = offline_multilevel_partition(
             pd.DataFrame({"vertex": [], "neighbors": []}), 4)
         assert len(pm) == 0 and m["num_edges"] == 0
+
+    def test_driver_size_guard(self):
+        import pandas as pd
+        import pytest as _pytest
+
+        from sgp_sketch.partition import offline_multilevel_partition
+
+        adj = pd.DataFrame({
+            "vertex": [f"v{i}" for i in range(12)],
+            "neighbors": [[f"v{(i + 1) % 12}"] for i in range(12)]})
+        with _pytest.raises(ValueError, match="DRIVER-side quality "
+                                              "baseline capped"):
+            offline_multilevel_partition(adj, 4, max_vertices=10)
+        # raising the cap explicitly still works
+        pm, _m = offline_multilevel_partition(adj, 4, max_vertices=12)
+        assert len(pm) == 12
