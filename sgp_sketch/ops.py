@@ -342,9 +342,15 @@ def pack_sequences(ds, *, cap: int, id_col: str = "doc_id",
     """
 
     def _route(b: pd.DataFrame) -> pd.DataFrame:
+        from .hashing import hash_i64, hash_str
+
         out = b[[id_col, len_col]].copy()
-        out["bucket"] = (pd.util.hash_array(b[id_col].to_numpy())
-                         % num_buckets).astype("int64")
+        ids = b[id_col].to_numpy()
+        # splitmix64 for integer ids: the repo's standard int hash, and
+        # exactly reproducible in the DuckDB oracle (limb-split mod-2^64
+        # arithmetic) — see queries.PACKED_SEQUENCES_SQL
+        hv = hash_i64(ids) if ids.dtype.kind in "iu" else hash_str(ids)
+        out["bucket"] = (hv % np.uint64(num_buckets)).astype("int64")
         return out
 
     def _pack(g: pd.DataFrame) -> pd.DataFrame:

@@ -1629,7 +1629,56 @@ def packed_sequences(sf_dir: str):
     return manifest.map_batches(_summary, batch_format="pandas")
 
 
-ROWS_ONLY_QUERIES["packed_sequences"] = packed_sequences
+# Oracle (round-5 promotion): the bucket route is splitmix64(doc_id) % 64
+# — reproduced EXACTLY in SQL via limb-split mod-2^64 multiplication
+# (HUGEINT holds a 32x64-bit partial product; a full 64x64 overflows
+# INT128) — and the next-fit packing is a recursive CTE stepping the
+# (seq, acc) state through each bucket's id-sorted rows: same-seq while
+# acc + n_tok <= cap, else a new sequence (oversize docs land alone,
+# matching ops.pack_sequences' j = max(searchsorted, i+1)).
+_M64 = 1 << 64
+PACKED_SEQUENCES_SQL = f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+z1 AS (SELECT doc_id, n_tok,
+        ((CAST(doc_id AS HUGEINT) % {_M64} + {_M64}
+          + 11400714819323198485) % {_M64}) AS z
+       FROM d),
+x1 AS (SELECT doc_id, n_tok, xor(z, z >> 30) AS v FROM z1),
+z2 AS (SELECT doc_id, n_tok,
+        ((v % 4294967296) * 13787848793156543929
+         + ((v // 4294967296) * 13787848793156543929 % 4294967296)
+           * 4294967296) % {_M64} AS z
+       FROM x1),
+x2 AS (SELECT doc_id, n_tok, xor(z, z >> 27) AS v FROM z2),
+z3 AS (SELECT doc_id, n_tok,
+        ((v % 4294967296) * 10723151780598845931
+         + ((v // 4294967296) * 10723151780598845931 % 4294967296)
+           * 4294967296) % {_M64} AS z
+       FROM x2),
+r AS (SELECT CAST(xor(z, z >> 31) % 64 AS BIGINT) AS bucket, doc_id, n_tok,
+             row_number() OVER (
+                 PARTITION BY xor(z, z >> 31) % 64 ORDER BY doc_id) AS rn
+      FROM z3),
+packed(bucket, rn, seq, acc, n_tok) AS (
+  SELECT bucket, rn, CAST(0 AS BIGINT), n_tok, n_tok FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.bucket, r.rn,
+         CASE WHEN p.acc + r.n_tok <= 512 THEN p.seq ELSE p.seq + 1 END,
+         CASE WHEN p.acc + r.n_tok <= 512 THEN p.acc + r.n_tok
+              ELSE r.n_tok END,
+         r.n_tok
+  FROM packed p JOIN r ON r.bucket = p.bucket AND r.rn = p.rn + 1
+)
+SELECT bucket, seq, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(floor(least(sum(n_tok) / 512.0, 1.0) * 1000000 + 0.5)
+            AS BIGINT) AS fill_e6
+FROM packed GROUP BY bucket, seq
+"""
+
+EXACT_QUERIES["packed_sequences"] = (packed_sequences,
+                                     PACKED_SEQUENCES_SQL)
 
 
 def media_phash_dupes(sf_dir: str):
@@ -2307,7 +2356,8 @@ ROWS_ONLY_QUERIES.update({
     "media_pipeline": media_pipeline,
     # embedding_dedup_clusters: PROMOTED to EXACT_QUERIES in round 4
     "partition_workload_sweep": partition_workload_sweep,
-    "packed_sequences": packed_sequences,
+    # packed_sequences: PROMOTED to EXACT_QUERIES in round 5 (recursive
+    # next-fit CTE + limb-split splitmix64 bucket oracle)
     "winnow_dup_pairs": winnow_dup_pairs_q,
     "hll_source_overlap": hll_source_overlap,
 })
