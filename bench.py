@@ -140,8 +140,13 @@ def run_bench() -> dict:
     return out
 
 
-SCALE_LO = int(os.environ.get("SGP_SCALE_LO", "2"))
-SCALE_HI = int(os.environ.get("SGP_SCALE_HI", "8"))
+# 4 -> 16 pinned cores (round-5 protocol; was 2 -> 8): the 2-core side
+# swung +-85% with co-tenant exposure while the 8-core side sat stable,
+# so the ratio inherited the smallest window's noise. Both sides now
+# clear the noise floor; same 4x span, cores still taken from the TOP
+# of the affinity range.
+SCALE_LO = int(os.environ.get("SGP_SCALE_LO", "4"))
+SCALE_HI = int(os.environ.get("SGP_SCALE_HI", "16"))
 SCALE_DOCS = int(os.environ.get("SGP_SCALE_DOCS", "1600000"))
 SCALE_CORPUS = os.environ.get("SGP_SCALE_CORPUS", "/tmp/sgp_scale_corpus")
 

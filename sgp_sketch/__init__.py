@@ -29,7 +29,10 @@ from .partition import (  # noqa: E402,F401
 from .ops import asof_join, interval_join, pack_sequences  # noqa: E402,F401
 from .analytics import (  # noqa: E402,F401
     bfs_layers,
+    bfs_layers_rescan,
+    bfs_partition_pruned,
     connected_components,
+    label_edges,
     pagerank,
     sssp_distances,
     two_hop_cross_partition,
