@@ -136,6 +136,13 @@ def main(argv=None) -> int:
     cu.add_argument("--min-quality-e6", type=int, default=600_000)
     cu.set_defaults(fn=cmd_curate)
 
+    pl = sub.add_parser("plots",
+                        help="gnuplot bundle from experiment results "
+                             "(gnuplot_generator.py analogue)")
+    pl.add_argument("results", help="JSON file written by `experiment`")
+    pl.add_argument("outdir", help="directory for the .dat/.gnu bundle")
+    pl.set_defaults(fn=cmd_plots)
+
     args = p.parse_args(argv)
     # stdout is a JSON contract. Ray's log monitor forwards some raylet
     # warnings to fd 1 even with log_to_driver=False (e.g. the
@@ -158,6 +165,20 @@ def main(argv=None) -> int:
     return rc
 
 
+
+
+def cmd_plots(args) -> int:
+    """Generate the gnuplot .dat/.gnu bundle (edge-cut histogram, 2-hop
+    crossing chart, per-workload time lines) from an ``experiment``
+    result JSON. Pure text generation — no Ray session, no plotting
+    libraries; render with stock ``gnuplot <name>.gnu``."""
+    from .plots import experiment_plot_bundle
+
+    with open(args.results) as f:
+        records = json.load(f)
+    written = experiment_plot_bundle(records, args.outdir)
+    print(json.dumps({"written": written}), file=_OUT)
+    return 0
 
 
 def cmd_curate(args) -> int:
