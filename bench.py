@@ -164,6 +164,15 @@ def _pin_cmd(ncpu: int) -> list[str]:
     """
     import shutil
 
+    # SGP_SCALE_PIN=0 disables pinning: the driver-instruction-literal
+    # protocol (fresh ray.init(num_cpus=N) processes, scheduler slots
+    # only). Unpinned, the low side still uses every core for pyarrow /
+    # plasma threads, so it OVERperforms and the measured efficiency is
+    # conservative — useful as the lower-bound companion to the pinned
+    # number (which errs the other way: ray's fixed system overhead
+    # squeezes into the low cpuset and deflates the low side).
+    if os.environ.get("SGP_SCALE_PIN", "1") == "0":
+        return []
     if not shutil.which("taskset"):
         return []
     cores = sorted(os.sched_getaffinity(0))
