@@ -35,6 +35,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .ops import join_partitions
+
 
 def partition_lookup(pmap: pd.DataFrame):
     """(sorted vertex-hash array, aligned partition array) — the
@@ -94,7 +96,7 @@ def label_edges(edges, pmap: pd.DataFrame, k: int):
 
 
 def two_hop_cross_partition(edges, pmap: pd.DataFrame, *,
-                            num_partitions: int = 8,
+                            num_partitions: int | None = None,
                             labeled=None, k: int | None = None) -> dict:
     """Expand all 2-hop paths src -> mid -> dst and count partition
     switches along both legs under the given vertex -> partition map.
@@ -107,6 +109,8 @@ def two_hop_cross_partition(edges, pmap: pd.DataFrame, *,
     (from ``label_edges``) to share the annotated edge set with other
     consumers. Returns {"n_paths", "hop_crossings", "crossing_fraction"}.
     """
+    if num_partitions is None:
+        num_partitions = join_partitions()
     if k is None:
         k = int(pmap["partition"].max()) + 1 if len(pmap) else 1
     if labeled is None:

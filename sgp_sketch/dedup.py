@@ -23,6 +23,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .hashing import hash_str, splitmix64
+from .ops import join_partitions
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -481,7 +482,8 @@ def minhash_lsh_pipeline(
         sig_tbl = ds.select_columns([doc_col, text_col]).map_batches(
             _sig_tbl, batch_format="pandas")
         with_sig = tiles.join(
-            sig_tbl, join_type="inner", num_partitions=8, on=("vertex",))
+            sig_tbl, join_type="inner", num_partitions=join_partitions(),
+            on=("vertex",))
         cand = with_sig.groupby("tkey").map_groups(
             _expand_tiles, batch_format="pandas")
 
@@ -670,7 +672,9 @@ def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
     # whose union re-executes shared lineage per consumer in a lazy plan —
     # measured 5x wall blowup. Materialize once: candidate pairs are
     # 16 B/row in the object store (spillable), always far smaller than
-    # the corpus that produced them.
+    # the corpus that produced them. (Re-splitting the materialized table
+    # to one block per CPU was measured neutral at sf0.1 — the verify
+    # stage is aggregator-bound, not map-fan-out-bound.)
     cand = cand.materialize()
 
     # explicit Arrow schema: empty object-dtype byte columns would infer
@@ -701,7 +705,8 @@ def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
         return out.drop_duplicates()  # in-batch combiner
 
     needed = cand.map_batches(_needed, batch_format="pandas")
-    have = needed.join(sig_ds, join_type="inner", num_partitions=8,
+    have = needed.join(sig_ds, join_type="inner",
+                       num_partitions=join_partitions(),
                        on=("doc",), right_on=(doc_col,))
 
     def _sig_rows(b: pd.DataFrame) -> pa.Table:

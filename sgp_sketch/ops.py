@@ -21,6 +21,33 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def join_partitions(default: int = 8) -> int:
+    """Hash-join partition count — the ONE tunable every ``Dataset.join``
+    call site reads (instead of a hardwired literal in each).
+
+    Counterintuitive measured default: scaling this to the session CPU
+    count makes joins SLOWER on a single node. A/B at sf0.1 (minhash
+    verify-join pipeline end-to-end, one 32-CPU session, two alternating
+    rounds per level): 8 parts 14.4/14.4 s · 16 parts 14.4/17.0 s ·
+    32 parts 20.1/20.7 s. Each join partition spawns a shuffle
+    aggregator actor, and this host is memory-bandwidth-bound (sort-type
+    scaling saturates past ~8 concurrent sorters — BASELINE.md), so
+    extra aggregators only add contention and actor overhead.
+    Repartitioning the materialized candidate table before the verify
+    joins was also measured neutral (18.5-21.4 s at 32 parts either way).
+
+    On a real multi-node cluster the trade flips: 8 partitions would cap
+    join parallelism at 8 cores cluster-wide, so deployments should set
+    ``SGP_JOIN_PARTS`` to roughly the cluster's aggregate core count
+    (each node then hosts its share of aggregators against its OWN
+    memory bus — the single-node bandwidth wall does not apply).
+    """
+    import os
+
+    env = os.environ.get("SGP_JOIN_PARTS")
+    return int(env) if env else default
+
+
 def explode_words(ds, text_col: str = "text", keep: tuple = ("source",)):
     """documents -> one row per word (plus ``keep`` columns), streamed.
 
@@ -271,7 +298,7 @@ def asof_join(left, right, *, on: str, by: str, right_on: str | None = None,
 
 def interval_join(left, right, *, key: str, left_t: str, right_key: str,
                   right_start: str, right_end: str, grid_us: int,
-                  num_partitions: int = 16):
+                  num_partitions: int | None = None):
     """Range (interval) join: each LEFT row pairs with every RIGHT row of
     the same key whose [start, end) interval contains the left timestamp.
 
@@ -285,6 +312,8 @@ def interval_join(left, right, *, key: str, left_t: str, right_key: str,
     needed. All timestamps must be Arrow timestamps; comparison happens on
     int64 epoch-us.
     """
+    if num_partitions is None:
+        num_partitions = join_partitions()
 
     def _left_cells(t: pa.Table) -> pa.Table:
         # FLOOR division via numpy: Arrow's divide truncates toward zero,

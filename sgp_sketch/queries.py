@@ -17,6 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from .ops import join_partitions
 from .pipeline import SCOPE_GLOBAL, build_sketches
 from .schema import tokens_dataset
 
@@ -859,7 +860,7 @@ def order_lineitem_join(sf_dir: str):
 
     li = li.map_batches(rev, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = li.join(orders, join_type="inner", num_partitions=8,
+    joined = li.join(orders, join_type="inner", num_partitions=join_partitions(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
     out = (
         joined.groupby("o_orderpriority")
@@ -1510,7 +1511,7 @@ def curation_keep_rows(rows, clusters, *, id_col: str = "doc_id",
     marked = drop_ds.map_batches(
         lambda b: b.assign(__hit=np.int8(1)), batch_format="pandas")
     joined = positives.join(marked, join_type="left_outer",
-                            num_partitions=8, on=(id_col,),
+                            num_partitions=join_partitions(), on=(id_col,),
                             right_on=("__drop_id",))
     survivors = joined.map_batches(
         lambda b: b.loc[b["__hit"].isna()]
@@ -1797,7 +1798,7 @@ def triangle_count(sf_dir: str):
     uk2 = uk.map_batches(  # zero-copy Arrow rename (pure projection)
         lambda t: t.select(["u", "k"]).rename_columns(["v", "k2"]),
         batch_format="pyarrow")
-    co = uk.join(uk2, join_type="inner", num_partitions=8,
+    co = uk.join(uk2, join_type="inner", num_partitions=join_partitions(),
                  on=("k",), right_on=("k2",))
 
     def _orient(b: pd.DataFrame) -> pd.DataFrame:
@@ -1812,9 +1813,9 @@ def triangle_count(sf_dir: str):
     e_ab = edges.map_batches(_ren(["a", "b"]), batch_format="pyarrow")
     e_bc = edges.map_batches(_ren(["wb", "c"]), batch_format="pyarrow")
     e_ac = edges.map_batches(_ren(["ca", "cc"]), batch_format="pyarrow")
-    wedges = e_ab.join(e_bc, join_type="inner", num_partitions=8,
+    wedges = e_ab.join(e_bc, join_type="inner", num_partitions=join_partitions(),
                        on=("b",), right_on=("wb",))
-    closed = wedges.join(e_ac, join_type="inner", num_partitions=8,
+    closed = wedges.join(e_ac, join_type="inner", num_partitions=join_partitions(),
                          on=("a", "c"), right_on=("ca", "cc"))
     return pd.DataFrame({"n_triangles": [int(closed.count())]})
 
@@ -1907,7 +1908,7 @@ def customers_without_orders(sf_dir: str):
         .groupby("o_custkey").count() \
         .map_batches(_mark, batch_format="pandas")
 
-    joined = cust.join(okeys, join_type="left_outer", num_partitions=8,
+    joined = cust.join(okeys, join_type="left_outer", num_partitions=join_partitions(),
                        on=("c_custkey",), right_on=("o_custkey",))
 
     def _anti(b: pd.DataFrame) -> pd.DataFrame:
