@@ -603,3 +603,15 @@ def test_build_shards_from_block_refs(sf_small):
         assert sorted(got) == sorted(ref[v]), v
     for s in shards:
         ray.kill(s)
+
+
+def test_join_partitions_knob(monkeypatch):
+    """join_partitions: measured default 8 (BASELINE.md round-5 A/B),
+    SGP_JOIN_PARTS env overrides for multi-node deployments."""
+    from sgp_sketch.ops import join_partitions
+
+    monkeypatch.delenv("SGP_JOIN_PARTS", raising=False)
+    assert join_partitions() == 8
+    assert join_partitions(default=16) == 16
+    monkeypatch.setenv("SGP_JOIN_PARTS", "256")
+    assert join_partitions() == 256
