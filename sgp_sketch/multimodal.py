@@ -13,8 +13,11 @@ Decode status per modality (``mode="real"``):
   24-bit uncompressed BMP decode via pure-stdlib/numpy parsers (always
   available); compressed formats (PNG/JPEG) decode via Pillow where it
   is importable (not in this container — importorskip'd tests).
-- **video** — PyAV where importable (not in this container); otherwise
-  the declared ``NotImplementedError``.
+- **video** — REAL for uncompressed formats: Y4M (YUV4MPEG2 — plain
+  header + raw YUV planes) parses via a pure-stdlib/numpy parser (always
+  available; the Y plane is the grayscale luma, so decode needs no
+  colorspace math); compressed containers decode via PyAV where it is
+  importable (not in this container — importorskip'd tests).
 
 ``mode="fake"`` produces deterministic pseudo-features from the payload
 bytes, so the Ray-side plumbing — schema, batch size, actor signature,
@@ -94,6 +97,72 @@ def parse_bmp_gray(payload: bytes) -> np.ndarray | None:
     return (grid @ _RGB_W[::-1]).reshape(-1)  # BMP stores BGR
 
 
+# frame sizes per Y4M colorspace tag: luma w*h plus two chroma planes
+# at the tag's subsampling (Y4M chroma dims round DOWN; mono has none)
+_Y4M_CHROMA = {b"420": (2, 2), b"422": (2, 1), b"444": (1, 1),
+               b"mono": None}
+
+
+def parse_y4m_frames(payload: bytes,
+                     max_frames: int | None = None) -> list[np.ndarray] | None:
+    """Decode a Y4M (YUV4MPEG2) video payload to a list of (h, w) uint8
+    LUMA (grayscale) frames — a real, pure-stdlib video codec for the
+    environments where PyAV is absent. The stream header is plain text
+    (``YUV4MPEG2 W.. H.. F..``), each frame is a ``FRAME`` line followed
+    by raw planes, and the Y plane is already the grayscale image, so no
+    colorspace conversion is needed. Returns None if the payload is not
+    Y4M; raises on a structurally broken one."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    eol = payload.find(b"\n")
+    if eol < 0:
+        raise ValueError("truncated Y4M header")
+    w = h = 0
+    chroma = _Y4M_CHROMA[b"420"]  # spec default when no C tag
+    for tok in payload[9:eol].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            tag = tok[1:]
+            if tag == b"mono":
+                chroma = None
+            else:
+                chroma = _Y4M_CHROMA.get(tag[:3])
+                if chroma is None:
+                    raise ValueError(f"unsupported Y4M colorspace {tag!r}")
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    luma = w * h
+    frame_len = luma if chroma is None else \
+        luma + 2 * ((w // chroma[0]) * (h // chroma[1]))
+    frames: list[np.ndarray] = []
+    pos = eol + 1
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError("bad Y4M frame marker")
+        eol = payload.find(b"\n", pos)
+        if eol < 0 or len(payload) - (eol + 1) < frame_len:
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(payload, dtype=np.uint8, count=luma,
+                                    offset=eol + 1).reshape(h, w))
+        pos = eol + 1 + frame_len
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    return frames
+
+
+def encode_y4m(frames: np.ndarray) -> bytes:
+    """Encode an (n, h, w) uint8 luma stack as C420 Y4M with flat chroma —
+    the test-side twin of ``parse_y4m_frames``."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    chroma = b"\x80" * (2 * ((w // 2) * (h // 2)))
+    head = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)
+    return head + b"".join(b"FRAME\n" + f.tobytes() + chroma for f in frames)
+
+
 def encode_ppm(rgb: np.ndarray) -> bytes:
     """Encode an (h, w, 3) uint8 array as binary PPM (P6) — the test-side
     twin of ``parse_pnm_gray``."""
@@ -144,9 +213,9 @@ class MediaDecoder:
         # the real codecs load ONCE PER ACTOR here, one import guard per
         # media_type so each modality independently upgrades to its real
         # path wherever its codec exists (VERDICT r03 ask #9):
-        #   image -> Pillow (absent in this container: pytest importorskip)
+        #   image -> PNM/BMP built-in (always); Pillow extends to PNG/JPEG
         #   audio -> stdlib `wave` (ALWAYS available: real WAV decode)
-        #   video -> PyAV   (absent in this container: pytest importorskip)
+        #   video -> Y4M built-in (always); PyAV extends to compressed
         self.pil = None
         self.wave = None
         self.av = None
@@ -200,16 +269,21 @@ class MediaDecoder:
                 raise ValueError(f"unsupported WAV sample width {width}")
             samples = np.frombuffer(raw, dtype=dt).astype(np.int64)
             return self._hist(np.abs(samples))
-        if media_type == "video" and self.av is not None:
-            with self.av.open(io.BytesIO(payload)) as container:
-                frame = next(container.decode(video=0))
-                arr = frame.to_ndarray(format="gray")
-            return self._hist(arr.astype(np.float64).reshape(-1))
+        if media_type == "video":
+            frames = parse_y4m_frames(payload, max_frames=1)
+            if frames:
+                return self._hist(frames[0].astype(np.float64).reshape(-1))
+            if self.av is not None:
+                with self.av.open(io.BytesIO(payload)) as container:
+                    frame = next(container.decode(video=0))
+                    arr = frame.to_ndarray(format="gray")
+                return self._hist(arr.astype(np.float64).reshape(-1))
         raise NotImplementedError(
             f"no codec for media_type={media_type!r} payload in this "
-            "environment (PNM/BMP images and WAV audio always decode via "
-            "the built-in parsers; compressed images need Pillow, video "
-            "needs PyAV); run with mode='fake' for the deterministic stub"
+            "environment (PNM/BMP images, WAV audio and Y4M video always "
+            "decode via the built-in parsers; compressed images need "
+            "Pillow, compressed video needs PyAV); run with mode='fake' "
+            "for the deterministic stub"
         )
 
     def _decode_fake(self, payload: bytes, media_type: str) -> np.ndarray:
@@ -252,9 +326,11 @@ def media_features(ds, *, mode: str = "fake", batch_size: int = 256,
 
 def frame_sample(ds, every_n: int = 10, *, batch_size: int = 256,
                  concurrency: int = 2):
-    """Frame-sampling stub for video payloads: emits one pseudo-frame row
-    per ``every_n`` payload bytes (stands in for decoded frame iteration;
-    the row layout — media_id, frame_idx, frame_bytes — is the real one)."""
+    """Frame sampling for video payloads. Y4M payloads iterate REAL
+    decoded frames and emit every ``every_n``-th one (frame_bytes = the
+    raw luma plane); other payloads fall back to one pseudo-frame row
+    per ``every_n`` payload bytes so the plumbing — media_id, frame_idx,
+    frame_bytes — is exercised regardless of codec."""
 
     def _sample(batch: pa.Table) -> pa.Table:
         ids, idxs, frames = [], [], []
@@ -264,6 +340,13 @@ def frame_sample(ds, every_n: int = 10, *, batch_size: int = 256,
             batch["payload"].to_pylist(),
         ):
             if mtype != "video":
+                continue
+            decoded = parse_y4m_frames(payload)
+            if decoded is not None:
+                for fi in range(0, len(decoded), every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(decoded[fi].tobytes())
                 continue
             for fi, off in enumerate(range(0, len(payload), every_n)):
                 ids.append(mid)
