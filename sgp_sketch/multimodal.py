@@ -197,6 +197,66 @@ def synthesize_media_dataset(sf_dir: str):
     return ds.map_batches(_to_media, batch_format="pyarrow")
 
 
+def _det_bytes(seed: int, n: int) -> np.ndarray:
+    """n deterministic pseudo-random bytes via splitmix64 counter mode
+    (repo-standard hashing; no RNG state, identical on every platform)."""
+    from .hashing import splitmix64
+
+    words = splitmix64(np.uint64(seed) + np.arange((n + 7) // 8,
+                                                   dtype=np.uint64))
+    return words.view(np.uint8)[:n]
+
+
+def synthesize_real_media_dataset(sf_dir: str, *, max_items: int = 300):
+    """Deterministic media table whose payloads are REAL encoded files —
+    binary PPM images, WAV audio, Y4M video — derived from doc ids (no
+    external data). The mode='real' twin of ``synthesize_media_dataset``:
+    every payload round-trips through an actual codec, so a registered
+    query can exercise the real decode path in any environment.
+    ``max_items`` bounds the table by a deterministic doc_id filter (not
+    ``limit()``, whose sample order is scheduler-dependent)."""
+    import io
+    import wave
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _to_media(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch["doc_id"].to_pylist()
+               if int(i) < max_items]
+        kinds = ["image", "audio", "video"]
+        payloads = []
+        for i in ids:
+            kind = kinds[i % 3]
+            if kind == "image":
+                rgb = _det_bytes(i * 3 + 1, 8 * 8 * 3).reshape(8, 8, 3)
+                payloads.append(encode_ppm(rgb))
+            elif kind == "audio":
+                samples = _det_bytes(i * 3 + 2, 800)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            else:
+                frames = _det_bytes(i * 3 + 3, 3 * 8 * 8).reshape(3, 8, 8)
+                payloads.append(encode_y4m(frames))
+        return pa.Table.from_pydict(
+            {
+                "media_id": [f"m{i}" for i in ids],
+                "media_type": [kinds[i % 3] for i in ids],
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads],
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return ds.map_batches(_to_media, batch_format="pyarrow")
+
+
 class MediaDecoder:
     """Actor-pool decode/feature stage.
 

@@ -2243,11 +2243,21 @@ def ann_variants_topk(sf_dir: str):
 
 def media_pipeline(sf_dir: str):
     """Multimodal plumbing in ONE driver-visible sweep: fake-decode
-    feature extraction, every-Nth frame sampling, and perceptual-hash
-    dedup groups, normalized to long-format (kind, media_id, a, b)."""
+    feature extraction, every-Nth frame sampling, perceptual-hash dedup
+    groups, AND real-codec feature extraction over deterministically
+    synthesized PPM/WAV/Y4M payloads (every modality decodes through an
+    actual parser — no codec library needed), normalized to long-format
+    (kind, media_id, a, b)."""
+    from .multimodal import media_features, synthesize_real_media_dataset
+
     feats = media_features_fake(sf_dir).to_pandas()
     frames = video_frame_sample(sf_dir).to_pandas()
     phash = media_phash_dupes(sf_dir).to_pandas()
+    real = media_features(synthesize_real_media_dataset(sf_dir),
+                          mode="real").to_pandas()
+    real_argmax = np.array(
+        [int(np.argmax(f)) for f in real["features"]], dtype=np.int64) \
+        if len(real) else np.empty(0, dtype=np.int64)
     rows = [
         pd.DataFrame({"kind": "feature", "media_id": feats["media_id"],
                       "a": 0, "b": feats["feat_argmax"]}),
@@ -2256,6 +2266,8 @@ def media_pipeline(sf_dir: str):
         pd.DataFrame({"kind": "phash_group",
                       "media_id": phash["canonical_id"],
                       "a": phash["phash"], "b": phash["n_items"]}),
+        pd.DataFrame({"kind": "real_feature", "media_id": real["media_id"],
+                      "a": real_argmax, "b": real["n_bytes"]}),
     ]
     out = pd.concat(rows, ignore_index=True)
     out["media_id"] = out["media_id"].astype(str)

@@ -695,6 +695,26 @@ class TestPerCodecRealPaths:
             parse_y4m_frames(p[:-5])
         assert parse_y4m_frames(b"not a y4m stream") is None
 
+    def test_real_media_synthesis_decodes_all_modalities(self, sf_small):
+        """synthesize_real_media_dataset emits REAL encoded payloads and
+        the mode='real' stage decodes every one (all three modalities,
+        no codec library, deterministic across runs)."""
+        from sgp_sketch.multimodal import (media_features,
+                                           synthesize_real_media_dataset)
+
+        ds = synthesize_real_media_dataset(sf_small, max_items=60)
+        out = media_features(ds, mode="real").to_pandas() \
+            .sort_values("media_id").reset_index(drop=True)
+        assert set(out["media_type"]) == {"image", "audio", "video"}
+        feats = np.array(out["features"].tolist(), dtype=np.float64)
+        assert np.allclose(feats.sum(axis=1), 1.0)
+        out2 = media_features(
+            synthesize_real_media_dataset(sf_small, max_items=60),
+            mode="real").to_pandas() \
+            .sort_values("media_id").reset_index(drop=True)
+        assert out["media_id"].tolist() == out2["media_id"].tolist()
+        assert np.allclose(feats, np.array(out2["features"].tolist()))
+
     def test_registered_media_queries_use_fake_mode(self, sf_small):
         """The registered queries (media_meta / media_pipeline) run the
         deterministic fake decode — the NotImplementedError is not
