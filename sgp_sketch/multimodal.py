@@ -98,8 +98,11 @@ def parse_bmp_gray(payload: bytes) -> np.ndarray | None:
 
 
 # frame sizes per Y4M colorspace tag: luma w*h plus two chroma planes
-# at the tag's subsampling (Y4M chroma dims round DOWN; mono has none)
-_Y4M_CHROMA = {b"420": (2, 2), b"422": (2, 1), b"444": (1, 1),
+# at the tag's subsampling (Y4M chroma dims round DOWN; mono has none).
+# Exact 8-bit tags only — 10/12-bit variants (C420p10...) carry 2-byte
+# samples and must be rejected, not silently mis-sized.
+_Y4M_CHROMA = {b"420": (2, 2), b"420jpeg": (2, 2), b"420mpeg2": (2, 2),
+               b"420paldv": (2, 2), b"422": (2, 1), b"444": (1, 1),
                b"mono": None}
 
 
@@ -126,12 +129,9 @@ def parse_y4m_frames(payload: bytes,
             h = int(tok[1:])
         elif tok[:1] == b"C":
             tag = tok[1:]
-            if tag == b"mono":
-                chroma = None
-            else:
-                chroma = _Y4M_CHROMA.get(tag[:3])
-                if chroma is None:
-                    raise ValueError(f"unsupported Y4M colorspace {tag!r}")
+            if tag not in _Y4M_CHROMA:
+                raise ValueError(f"unsupported Y4M colorspace {tag!r}")
+            chroma = _Y4M_CHROMA[tag]
     if w <= 0 or h <= 0:
         raise ValueError("Y4M header missing W/H")
     luma = w * h
