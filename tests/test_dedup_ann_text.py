@@ -695,6 +695,26 @@ class TestPerCodecRealPaths:
             parse_y4m_frames(p[:-5])
         assert parse_y4m_frames(b"not a y4m stream") is None
 
+    def test_phash_dupes_on_real_decoded_images(self):
+        """Perceptual-hash dedup over the REAL decode path: byte-identical
+        PPM payloads land in one phash group; a different image does not."""
+        import pandas as pd
+        import ray.data as rd
+
+        from sgp_sketch.multimodal import encode_ppm, phash_exact_dupes
+
+        rng = np.random.default_rng(23)
+        a = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        b = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        ds = rd.from_pandas(pd.DataFrame({
+            "media_id": ["i0", "i1", "i2"],
+            "media_type": ["image"] * 3,
+            "payload": [encode_ppm(a), encode_ppm(a), encode_ppm(b)]}))
+        out = phash_exact_dupes(ds, mode="real").to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0]["n_items"] == 2
+        assert out.iloc[0]["canonical_id"] == "i0"
+
     def test_real_media_synthesis_decodes_all_modalities(self, sf_small):
         """synthesize_real_media_dataset emits REAL encoded payloads and
         the mode='real' stage decodes every one (all three modalities,
