@@ -52,30 +52,49 @@ TOKEN_PATTERN_SQL = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
 
 def q1_lineitem_pricing(sf_dir: str):
-    """TPC-H Q1 shape: grouped pricing aggregates with named columns."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """TPC-H Q1 shape: grouped pricing aggregates with named columns.
+
+    Partial aggregation inside ``map_batches`` (the repo-standard
+    combiner pattern, ops.py module docstring): each batch collapses to
+    ~6 partial rows before the groupby, so the exchange moves
+    groups x blocks rows instead of the whole table — at 100 TB this is
+    the difference between an all-to-all of lineitem and a trivial
+    shuffle. Float parity with the previous whole-row Sum aggregate
+    holds because Ray's Sum already merged per-block partials in
+    nondeterministic order; the rounded outputs absorb either order."""
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                 "l_discount"])
 
-    def enrich(t: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(t["l_extendedprice"],
-                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc_price)
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_disc=("l_discount", "sum"),
+            n_rows=("l_discount", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(enrich, batch_format="pyarrow")
+        ds.map_batches(_partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="n_rows"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_disc", alias_name="sum_disc"),
+            Sum("n_rows", alias_name="n_rows"),
         )
         .to_pandas()
     )
+    out["avg_disc"] = out["sum_disc"] / out["n_rows"]
+    out = out.drop(columns=["sum_disc"])
+    out["n_rows"] = out["n_rows"].astype("int64")
     for c, d in [("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2),
                  ("avg_disc", 6)]:
         out[c] = out[c].round(d)
