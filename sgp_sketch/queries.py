@@ -153,22 +153,35 @@ GROUP BY n_name
 
 
 def events_hourly(sf_dir: str):
-    """Tumbling-window aggregate: events per (event_type, hour)."""
-    from ray.data.aggregate import Count, Sum
+    """Tumbling-window aggregate: events per (event_type, hour), with the
+    in-batch combiner (each batch collapses to one row per live window
+    before the shuffle — windows x blocks rows cross, not events)."""
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def add_hour(t: pa.Table) -> pa.Table:
-        floored = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("s"))
-        hour = pc.strftime(floored, format="%Y-%m-%d %H:%M:%S")
-        return t.append_column("hour", hour)
+    def _partial(t: pa.Table) -> pa.Table:
+        floored = pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                          pa.timestamp("s"))
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "hour": pc.strftime(
+                floored, format="%Y-%m-%d %H:%M:%S").to_pandas(),
+            "value": t["value"].to_pandas(),
+        })
+        g = df.groupby(["event_type", "hour"], sort=False).agg(
+            n_events=("value", "size"),
+            sum_value=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(add_hour, batch_format="pyarrow")
+        ds.map_batches(_partial, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"))
         .to_pandas()
     )
+    out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(2)
     return out
 
@@ -226,7 +239,7 @@ FROM part GROUP BY p_brand
 
 def lineitem_shipped_revenue(sf_dir: str):
     """Filter pushdown + grouped revenue (vectorized predicate in-batch)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_extendedprice", "l_discount", "l_shipdate"])
@@ -237,12 +250,24 @@ def lineitem_shipped_revenue(sf_dir: str):
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return t.append_column("revenue", rev)
 
+    def _partial(t: pa.Table) -> pa.Table:
+        # in-batch combiner: one partial row per returnflag per batch
+        df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_pandas(),
+                           "revenue": t["revenue"].to_pandas()})
+        g = df.groupby("l_returnflag", sort=False).agg(
+            n_rows=("revenue", "size"),
+            revenue=("revenue", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     out = (
         ds.map_batches(filt, batch_format="pyarrow")
+        .map_batches(_partial, batch_format="pyarrow")
         .groupby("l_returnflag")
-        .aggregate(Count(alias_name="n_rows"), Sum("revenue", alias_name="revenue"))
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("revenue", alias_name="revenue"))
         .to_pandas()
     )
+    out["n_rows"] = out["n_rows"].astype("int64")
     out["revenue"] = out["revenue"].round(2)
     return out
 
@@ -904,7 +929,7 @@ def events_sliding_window(sf_dir: str):
     """Sliding-window aggregate (2h window, 1h hop): each event lands in
     two windows — flat-emit both window starts per row, then a grouped
     aggregate (the streaming-shaped pattern from the Ray guide)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
@@ -929,17 +954,26 @@ def events_sliding_window(sf_dir: str):
         val = t["value"]
         if isinstance(val, pa.ChunkedArray):
             val = val.combine_chunks()
-        return pa.Table.from_arrays(
-            [pa.concat_arrays([et, et]), starts, pa.concat_arrays([val, val])],
-            names=["event_type", "window_start", "value"],
-        )
+        # in-batch combiner: collapse the exploded rows to one partial
+        # row per live window before anything crosses the shuffle
+        df = pd.DataFrame({
+            "event_type": pa.concat_arrays([et, et]).to_pandas(),
+            "window_start": starts.to_pandas(),
+            "value": pa.concat_arrays([val, val]).to_pandas(),
+        })
+        g = df.groupby(["event_type", "window_start"], sort=False).agg(
+            n_events=("value", "size"),
+            sum_value=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
         ds.map_batches(explode_windows, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"))
         .to_pandas()
     )
+    out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(2)
     return out
 
