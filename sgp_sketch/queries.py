@@ -161,29 +161,32 @@ def events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def _partial(t: pa.Table) -> pa.Table:
-        floored = pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
-                          pa.timestamp("s"))
+        # keys stay int64 epoch-hours through the shuffle; the ~windows
+        # final rows get formatted once at the end (no per-row strftime)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         df = pd.DataFrame({
             "event_type": t["event_type"].to_pandas(),
-            "hour": pc.strftime(
-                floored, format="%Y-%m-%d %H:%M:%S").to_pandas(),
+            "hour_s": (us // 3_600_000_000) * 3600,
             "value": t["value"].to_pandas(),
         })
-        g = df.groupby(["event_type", "hour"], sort=False).agg(
+        g = df.groupby(["event_type", "hour_s"], sort=False).agg(
             n_events=("value", "size"),
             sum_value=("value", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
         ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
+        .groupby(["event_type", "hour_s"])
         .aggregate(Sum("n_events", alias_name="n_events"),
                    Sum("sum_value", alias_name="sum_value"))
         .to_pandas()
     )
+    out["hour"] = pd.to_datetime(out["hour_s"], unit="s") \
+        .dt.strftime("%Y-%m-%d %H:%M:%S")
+    out = out.drop(columns=["hour_s"])
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(2)
-    return out
+    return out[["event_type", "hour", "n_events", "sum_value"]]
 
 
 EVENTS_HOURLY_SQL = """
@@ -934,48 +937,39 @@ def events_sliding_window(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def explode_windows(t: pa.Table) -> pa.Table:
-        floored = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("s"))
-        prev = pc.cast(
-            pc.subtract(floored, pa.scalar(3600_000_000_000, pa.duration("ns"))),
-            pa.timestamp("s"),  # subtraction promotes to ns; %S would then
-        )                       # print fractional digits and split the keys
-        n = len(t)
-        starts = pa.concat_arrays([
-            pc.strftime(floored, format="%Y-%m-%d %H:%M:%S").combine_chunks()
-            if isinstance(floored, pa.ChunkedArray) else
-            pc.strftime(floored, format="%Y-%m-%d %H:%M:%S"),
-            pc.strftime(prev, format="%Y-%m-%d %H:%M:%S").combine_chunks()
-            if isinstance(prev, pa.ChunkedArray) else
-            pc.strftime(prev, format="%Y-%m-%d %H:%M:%S"),
-        ])
-        et = t["event_type"]
-        if isinstance(et, pa.ChunkedArray):
-            et = et.combine_chunks()
-        val = t["value"]
-        if isinstance(val, pa.ChunkedArray):
-            val = val.combine_chunks()
-        # in-batch combiner: collapse the exploded rows to one partial
-        # row per live window before anything crosses the shuffle
+        # each event lands in two windows (epoch-hour and the previous
+        # one); the in-batch combiner then collapses the exploded rows to
+        # one partial row per live window BEFORE anything crosses the
+        # shuffle, with int64 keys (no per-row strftime anywhere)
+        import numpy as np
+
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (us // 3_600_000_000) * 3600
+        et = t["event_type"].to_pandas()
+        val = t["value"].to_pandas()
         df = pd.DataFrame({
-            "event_type": pa.concat_arrays([et, et]).to_pandas(),
-            "window_start": starts.to_pandas(),
-            "value": pa.concat_arrays([val, val]).to_pandas(),
+            "event_type": pd.concat([et, et], ignore_index=True),
+            "window_s": np.concatenate([win, win - 3600]),
+            "value": pd.concat([val, val], ignore_index=True),
         })
-        g = df.groupby(["event_type", "window_start"], sort=False).agg(
+        g = df.groupby(["event_type", "window_s"], sort=False).agg(
             n_events=("value", "size"),
             sum_value=("value", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
         ds.map_batches(explode_windows, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
+        .groupby(["event_type", "window_s"])
         .aggregate(Sum("n_events", alias_name="n_events"),
                    Sum("sum_value", alias_name="sum_value"))
         .to_pandas()
     )
+    out["window_start"] = pd.to_datetime(out["window_s"], unit="s") \
+        .dt.strftime("%Y-%m-%d %H:%M:%S")
+    out = out.drop(columns=["window_s"])
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(2)
-    return out
+    return out[["event_type", "window_start", "n_events", "sum_value"]]
 
 
 EVENTS_SLIDING_SQL = """
