@@ -197,16 +197,30 @@ FROM events GROUP BY event_type, hour
 
 
 def user_event_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Sum
+    """Per-user stats with the in-batch combiner (count/sum/max all fold:
+    the shuffle moves at most users-per-batch partial rows per block)."""
+    from ray.data.aggregate import Max, Sum
 
     ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t["user_id"].to_pandas(),
+                           "value": t["value"].to_pandas()})
+        g = df.groupby("user_id", sort=False).agg(
+            n_events=("value", "size"),
+            sum_value=("value", "sum"),
+            max_value=("value", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     out = (
-        ds.groupby("user_id")
-        .aggregate(Count(alias_name="n_events"),
-                   Sum("value", alias_name="sum_value"),
-                   Max("value", alias_name="max_value"))
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"),
+                   Max("max_value", alias_name="max_value"))
         .to_pandas()
     )
+    out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(2)
     return out
 
@@ -219,17 +233,30 @@ FROM events GROUP BY user_id
 
 
 def parts_by_brand(sf_dir: str):
-    from ray.data.aggregate import Count, Mean, Min
+    """Brand stats with the in-batch combiner (mean folds as sum/count)."""
+    from ray.data.aggregate import Min, Sum
 
     ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("p_brand", sort=False).agg(
+            n_parts=("p_retailprice", "size"),
+            sum_price=("p_retailprice", "sum"),
+            min_size=("p_size", "min")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     out = (
-        ds.groupby("p_brand")
-        .aggregate(Count(alias_name="n_parts"),
-                   Mean("p_retailprice", alias_name="avg_price"),
-                   Min("p_size", alias_name="min_size"))
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("n_parts", alias_name="n_parts"),
+                   Sum("sum_price", alias_name="sum_price"),
+                   Min("min_size", alias_name="min_size"))
         .to_pandas()
     )
-    out["avg_price"] = out["avg_price"].round(4)
+    out["avg_price"] = (out["sum_price"] / out["n_parts"]).round(4)
+    out = out.drop(columns=["sum_price"])
+    out["n_parts"] = out["n_parts"].astype("int64")
     return out
 
 
