@@ -486,26 +486,32 @@ WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
 
 
 def embedding_label_norms(sf_dir: str):
-    from ray.data.aggregate import Count, Mean
+    """Per-label norm stats with the in-batch combiner (mean folds as
+    sum/count — one partial row per label per batch, not vector rows)."""
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
-    def norms(t: pa.Table) -> pa.Table:
+    def _partial(t: pa.Table) -> pa.Table:
         from .ann import _stack
 
         m = _stack(t["embedding"])
-        return pa.Table.from_pydict({
-            "label": t["label"],
-            "norm": np.sqrt((m * m).sum(axis=1)),
-        })
+        df = pd.DataFrame({"label": t["label"].to_pandas(),
+                           "norm": np.sqrt((m * m).sum(axis=1))})
+        g = df.groupby("label", sort=False).agg(
+            n=("norm", "size"), sum_norm=("norm", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(norms, batch_format="pyarrow")
+        ds.map_batches(_partial, batch_format="pyarrow")
         .groupby("label")
-        .aggregate(Count(alias_name="n"), Mean("norm", alias_name="avg_norm"))
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_norm", alias_name="sum_norm"))
         .to_pandas()
     )
-    out["avg_norm"] = out["avg_norm"].round(4)
+    out["avg_norm"] = (out["sum_norm"] / out["n"]).round(4)
+    out = out.drop(columns=["sum_norm"])
+    out["n"] = out["n"].astype("int64")
     return out
 
 
