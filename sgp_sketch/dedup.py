@@ -567,14 +567,20 @@ def simhash_pipeline(ds, *, hamming_threshold: int = 3,
                      doc_col: str = "doc_id", text_col: str = "text"):
     """SimHash near-dup: 64-bit signatures; candidates = identical 16-bit
     chunks (pigeonhole for hamming <= 3 over 4 chunks); verified by Hamming
-    distance. Returns (doc_a, doc_b, hamming) pairs."""
+    distance. Returns (doc_a, doc_b, hamming) pairs.
+
+    The word hash is ``hashing.md5_u64`` (== DuckDB ``md5_number_lower``),
+    so the whole pipeline has an exact SQL oracle: per-word md5 bit votes
+    -> 64-bit signature -> cross-join ``bit_count(xor(...)) <= t``
+    (queries._simhash_oracle_sql)."""
     import ray
 
+    from .hashing import md5_u64
     from .text import simhash64
 
     def _sign(batch: pd.DataFrame) -> pd.DataFrame:
         words = batch[text_col].str.split(" ").tolist()
-        sig = simhash64(words)
+        sig = simhash64(words, hash_fn=md5_u64)
         out = batch[[doc_col]].copy()
         out["simhash"] = sig.astype("uint64")
         return out

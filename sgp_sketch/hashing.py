@@ -50,6 +50,24 @@ def hash_str(values, seed: int = 0) -> np.ndarray:
     return h
 
 
+def md5_u64(values) -> np.ndarray:
+    """uint64 word hash that DuckDB can reproduce exactly:
+    ``md5_number_lower(w)`` in DuckDB == bytes 8..16 of the md5 digest,
+    little-endian (verified against duckdb v1.0.0). Used by the SimHash
+    signer so ``simhash_pairs`` is oracle-pairable. Hashes each UNIQUE
+    string once (factorize + gather); md5 over a deduplicated vocabulary
+    is cheap relative to the vectorized bit-vote pass downstream."""
+    import hashlib
+
+    arr = np.asarray(values, dtype=object)
+    codes, uniq = pd.factorize(arr, sort=False)
+    hu = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(w).encode("utf-8")).digest()[8:16],
+                        "little") for w in uniq),
+        dtype=np.uint64, count=len(uniq))
+    return hu[codes]
+
+
 def fnv1a32(word: str) -> int:
     """Scalar FNV-1a 32-bit hash — the stable word -> token-id function used
     when deriving the tokenized-sequence table (vocabularies are tiny, so a

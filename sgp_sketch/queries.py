@@ -738,7 +738,40 @@ def simhash_pairs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = simhash_pipeline(ds, hamming_threshold=3).to_pandas()
-    return out
+    out = _typed_or(out, {"doc_a": "int64", "doc_b": "int64",
+                          "hamming": "int64"})
+    return out[["doc_a", "doc_b", "hamming"]]
+
+
+def _simhash_oracle_sql(threshold: int = 3) -> str:
+    """Exact DuckDB mirror of the SimHash pipeline: per word occurrence
+    ``md5_number_lower(w)`` (== hashing.md5_u64 — verified byte-for-byte),
+    64 per-bit +1/-1 votes (ties -> 0), signature = packed sign bits,
+    pairs = cross join with ``bit_count(xor()) <= t``. The cross join is
+    the sf0.01-scale oracle twin (O(n^2) over 500 docs); the Ray pipeline
+    itself prunes via pigeonhole 16-bit chunk buckets and stays exact."""
+    bit_terms = "\n      + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+        for b in range(64))
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+hashes AS (
+  SELECT doc_id, md5_number_lower(w) AS h FROM words
+),
+sigs AS (
+  SELECT doc_id,
+      {bit_terms}
+    AS sig
+  FROM hashes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {threshold}
+"""
 
 
 def langid_preds(sf_dir: str):
@@ -2443,7 +2476,9 @@ ROWS_ONLY_QUERIES.update({
     "cms_heavy_hitters": cms_heavy_hitters_all,
     "partition_plans": partition_plans,
     "hdrf_user_event_graph": hdrf_user_event_graph,
-    "simhash_pairs": simhash_pairs,
+    # simhash_pairs: PROMOTED to EXACT_QUERIES in round 5 (md5_u64 word
+    # hash == DuckDB md5_number_lower; 64 bit-vote sums + hamming cross
+    # join oracle)
     # langid_preds: PROMOTED to EXACT_QUERIES in round 4
     "ann_variants_topk": ann_variants_topk,
     "media_pipeline": media_pipeline,
@@ -2454,3 +2489,4 @@ ROWS_ONLY_QUERIES.update({
     "winnow_dup_pairs": winnow_dup_pairs_q,
     "hll_source_overlap": hll_source_overlap,
 })
+EXACT_QUERIES["simhash_pairs"] = (simhash_pairs, _simhash_oracle_sql())

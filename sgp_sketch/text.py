@@ -198,13 +198,18 @@ class Winnower:
         return out
 
 
-def simhash64(words_per_doc: list[list[str]], counts=None) -> np.ndarray:
+def simhash64(words_per_doc: list[list[str]], counts=None,
+              hash_fn=None) -> np.ndarray:
     """64-bit SimHash per document over word multisets.
 
     Fully vectorized across the batch: ONE flattened hash pass over every
     word of every doc, one unpackbits over the flat (n_words, 64) bit
     matrix, and per-doc bit-vote sums via a single ``np.add.reduceat`` on
-    the doc-boundary offsets — no per-document Python loop."""
+    the doc-boundary offsets — no per-document Python loop.
+
+    ``hash_fn`` selects the word->uint64 hash (default ``hash_str``,
+    SipHash via pandas); ``hashing.md5_u64`` makes signatures DuckDB-
+    reproducible (``md5_number_lower``) for oracle pairing."""
     n = len(words_per_doc)
     out = np.zeros(n, dtype=np.uint64)
     lens = np.fromiter((len(ws) for ws in words_per_doc), dtype=np.int64,
@@ -213,7 +218,7 @@ def simhash64(words_per_doc: list[list[str]], counts=None) -> np.ndarray:
     if not nz.any():
         return out
     flat = [w for ws in words_per_doc for w in ws]
-    h = hash_str(np.array(flat, dtype=object))
+    h = (hash_fn or hash_str)(np.array(flat, dtype=object))
     nz_lens = lens[nz]
     n_nz = len(nz_lens)
     bounds = np.zeros(n_nz + 1, dtype=np.int64)

@@ -72,6 +72,39 @@ class TestSimHash:
         assert set(out.columns) == {"doc_a", "doc_b", "hamming"}
         assert (out["hamming"] <= 3).all()
 
+    def test_md5_u64_matches_duckdb_md5_number_lower(self):
+        # the simhash_pairs oracle rests on this byte-level equivalence:
+        # md5_u64(w) == DuckDB md5_number_lower(w) for every word
+        import duckdb
+
+        from sgp_sketch.hashing import md5_u64
+
+        words = ["abc", "", "hello world", "héllo", "abc", "x" * 500, "0"]
+        got = md5_u64(words)
+        con = duckdb.connect()
+        want = [con.execute("select md5_number_lower(?)", [w]).fetchone()[0]
+                for w in words]
+        assert [int(g) for g in got] == [int(w) for w in want]
+        # factorize path: duplicates hash identically
+        assert int(got[0]) == int(got[4])
+
+    def test_oracle_hash_signature_semantics(self):
+        # signature bit b == sign of the +1/-1 vote sum over occurrences
+        # of (md5_number_lower(word) >> b) & 1 — the exact contract the
+        # generated SQL (queries._simhash_oracle_sql) encodes
+        from sgp_sketch.hashing import md5_u64
+
+        docs = [["a", "b", "a"], [""], ["x", "y", "z", "a"]]
+        sig = simhash64(docs, hash_fn=md5_u64)
+        for ws, s in zip(docs, sig):
+            h = [int(v) for v in md5_u64(ws)]
+            ref = 0
+            for b in range(64):
+                votes = sum(1 if (x >> b) & 1 else -1 for x in h)
+                if votes > 0:
+                    ref |= 1 << b
+            assert int(s) == ref
+
 
 class TestANN:
     def test_brute_force_matches_numpy(self, sf_small):
