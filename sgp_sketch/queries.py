@@ -1876,10 +1876,74 @@ def winnow_dup_pairs_q(sf_dir: str):
     from .dedup import winnow_dup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return winnow_dup_pairs(ds, min_shared=32)
+    out = winnow_dup_pairs(ds, min_shared=32).to_pandas()
+    out = _typed_or(out, {"doc_a": "int64", "doc_b": "int64",
+                          "n_shared": "int64"})
+    return out[["doc_a", "doc_b", "n_shared"]]
 
 
-ROWS_ONLY_QUERIES["winnow_dup_pairs"] = winnow_dup_pairs_q
+def _winnow_oracle_sql(k: int = 5, w: int = 4, min_shared: int = 32,
+                       max_df: int = 200) -> str:
+    """Exact DuckDB mirror of winnow_dup_pairs (round-5 promotion): FNV-1a
+    64-bit over char k-grams (text is ASCII, so ord(substr)==byte; each
+    xor-then-multiply step is one chained CTE, the wrapping mod-2^64
+    multiply limb-splits through HUGEINT exactly like the packed_sequences
+    splitmix64 oracle), per-doc window-of-w minima (frame truncation at
+    the tail reproduces the n_grams<=w whole-doc-min case), DISTINCT
+    fingerprints per doc, then a self-join counting shared fps per pair
+    with the same df<=max_df idf cut and n_shared>=min_shared floor."""
+    H0 = 0xCBF29CE484222325
+    P = 0x100000001B3
+    M64 = 1 << 64
+
+    def mul(x: str) -> str:
+        return (f"(({x} % 4294967296) * {P}"
+                f" + (({x} // 4294967296) * {P} % 4294967296)"
+                f" * 4294967296) % {M64}")
+
+    steps = [f"f0 AS (\n  SELECT doc_id, i, "
+             + ", ".join(f"ord(substr(text, CAST(i + {j} AS INT), 1)) AS b{j}"
+                         for j in range(k))
+             + ("\n  FROM (SELECT doc_id, text, unnest(generate_series("
+                f"1, greatest(length(text) - {k - 1}, 0))) AS i"
+                "\n        FROM documents)\n)")]
+    prev_h = str(H0)
+    for j in range(k):
+        carry = ", ".join(f"b{x}" for x in range(j + 1, k))
+        steps.append(
+            f"f{j + 1} AS (\n  SELECT doc_id, i, "
+            f"{mul(f'xor({prev_h}::HUGEINT, CAST(b{j} AS HUGEINT))')} AS h"
+            + (", " + carry if carry else "") + f"\n  FROM f{j}\n)")
+        prev_h = "h"
+    ctes = ",\n".join(steps)
+    return f"""
+WITH
+{ctes},
+wins AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM f{k}
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins
+  WHERE i <= greatest(n_grams - {w - 1}, 1)
+),
+df AS (SELECT fp, count(*) AS n FROM fps GROUP BY fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a
+JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+JOIN df ON df.fp = a.fp
+WHERE df.n <= {max_df}
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {min_shared}
+"""
+
+
+EXACT_QUERIES["winnow_dup_pairs"] = (winnow_dup_pairs_q,
+                                     _winnow_oracle_sql())
 
 
 def triangle_count(sf_dir: str):
@@ -2486,7 +2550,8 @@ ROWS_ONLY_QUERIES.update({
     "partition_workload_sweep": partition_workload_sweep,
     # packed_sequences: PROMOTED to EXACT_QUERIES in round 5 (recursive
     # next-fit CTE + limb-split splitmix64 bucket oracle)
-    "winnow_dup_pairs": winnow_dup_pairs_q,
+    # winnow_dup_pairs: PROMOTED to EXACT_QUERIES in round 5 (chained
+    # FNV-1a byte CTEs + window-of-w minima + shared-fp self-join oracle)
     "hll_source_overlap": hll_source_overlap,
 })
 EXACT_QUERIES["simhash_pairs"] = (simhash_pairs, _simhash_oracle_sql())
