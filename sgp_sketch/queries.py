@@ -1808,12 +1808,45 @@ def media_phash_dupes(sf_dir: str):
 ROWS_ONLY_QUERIES["media_phash_dupes"] = media_phash_dupes
 
 
+# HLL estimator constants at p=14, shared by the Ray query and its SQL
+# oracle so both sides evaluate the IDENTICAL float expression tree:
+# est = A / float(S) where S = sum over registers of 2^(51-rho) is an
+# EXACT integer (rho <= 51, so each term is integral; 16384 * 2^51 fits
+# HUGEINT) — the np.sum(exp2(-reg)) pairwise float sum would not be
+# reproducible, the integer sum is.
+_HLL_M = 1 << 14
+_HLL_A = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * 2.0 ** 51
+
+
+def _hll_est_exact(reg: np.ndarray) -> float:
+    """Flajolet estimate from a dense uint8 register array via an exact
+    integer power-of-two sum (bit-reproducible in DuckDB; same
+    linear-counting small-range correction as HyperLogLog.estimate)."""
+    import math
+
+    cnt = np.bincount(reg, minlength=52)
+    s = sum(int(c) << (51 - r) for r, c in enumerate(cnt[:52].tolist()) if c)
+    e = _HLL_A / s
+    if e <= 2.5 * _HLL_M:
+        v = int(cnt[0])
+        if v > 0:
+            e = float(_HLL_M) * math.log(float(_HLL_M) / v)
+    return e
+
+
 def hll_source_overlap(sf_dir: str):
     """HLL SET OPERATIONS: estimated vocabulary overlap between source
     pairs by inclusion-exclusion over mergeable per-source HLLs (the
     sketch-union capability the mergeable representation exists for).
     Per-batch partial sketches ship as bytes; the driver folds
-    vertex-scale state only."""
+    vertex-scale state only.
+
+    Oracle-paired (round 5): words hash through ``hashing.md5_u64``
+    (== DuckDB ``md5_number_lower``) and estimates go through the
+    exact-integer register sum, so the DuckDB oracle reproduces every
+    estimate bit-for-bit — an ESTIMATOR-exact oracle, not a tolerance
+    check."""
+    from .hashing import md5_u64
     from .sketches.hll import HyperLogLog
 
     ds = _read(sf_dir, "documents", ["source", "text"])
@@ -1824,7 +1857,7 @@ def hll_source_overlap(sf_dir: str):
             words = np.unique(np.concatenate(
                 [t.split(" ") for t in grp["text"]]).astype(object))
             h = HyperLogLog(p=14)
-            h.update(words)
+            h.update_hashes(md5_u64(words))
             rows_src.append(src)
             rows_sk.append(h.to_bytes())
         return pd.DataFrame({"source": rows_src,
@@ -1842,26 +1875,95 @@ def hll_source_overlap(sf_dir: str):
             else:
                 merged[src] = h
 
+    import math
+
     srcs = sorted(merged)[:3]
     rows = []
     for i in range(len(srcs)):
         for j in range(i + 1, len(srcs)):
             a, b_ = srcs[i], srcs[j]
-            ea = merged[a].estimate()
-            eb = merged[b_].estimate()
+            ea = _hll_est_exact(merged[a].registers)
+            eb = _hll_est_exact(merged[b_].registers)
             u = sketch_from_bytes(merged[a].to_bytes())
             u.merge(merged[b_])
-            eu = u.estimate()
+            eu = _hll_est_exact(u.registers)
             rows.append({
                 "source_a": a, "source_b": b_,
-                "est_a": int(round(ea)), "est_b": int(round(eb)),
-                "est_union": int(round(eu)),
-                "est_overlap": int(round(ea + eb - eu)),
+                "est_a": int(math.floor(ea + 0.5)),
+                "est_b": int(math.floor(eb + 0.5)),
+                "est_union": int(math.floor(eu + 0.5)),
+                "est_overlap": int(math.floor(ea + eb - eu + 0.5)),
             })
     return pd.DataFrame(rows)
 
 
-ROWS_ONLY_QUERIES["hll_source_overlap"] = hll_source_overlap
+def _hll_overlap_oracle_sql() -> str:
+    """DuckDB mirror of hll_source_overlap: md5_number_lower word hashes
+    -> (idx = h % 2^14, rho = 51 - bit_length(h >> 14), w=0 -> 51) ->
+    per-source / per-pair register maxima -> the SAME exact-integer
+    estimator ``_HLL_A / double(S)`` with linear-counting correction.
+    S sums 2^(51-rho) per present register plus 2^51 per absent one —
+    integral, so CAST(S AS DOUBLE) rounds identically to Python
+    float(S) and the estimates match bit-for-bit."""
+    t51 = 1 << 51
+    est_expr = (
+        f"CASE WHEN e_raw <= {2.5 * _HLL_M!r}::DOUBLE AND v > 0 "
+        f"THEN {float(_HLL_M)!r}::DOUBLE * ln({float(_HLL_M)!r}::DOUBLE / v) "
+        "ELSE e_raw END")
+    fold = (f"{_HLL_A!r}::DOUBLE / CAST(sum(1::HUGEINT << CAST(51 - rho AS INT))"
+            f" + ({_HLL_M} - count(*)) * {t51}::HUGEINT AS DOUBLE) AS e_raw,\n"
+            f"         {_HLL_M} - count(*) AS v")
+    return f"""
+WITH srcs AS (
+  SELECT source FROM (SELECT DISTINCT source FROM documents)
+  ORDER BY source LIMIT 3
+),
+words AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE source IN (SELECT source FROM srcs)
+),
+regs AS (
+  SELECT source, h % {_HLL_M} AS idx,
+         CASE WHEN (h >> 14) = 0 THEN 51
+              ELSE 51 - length(bin(h >> 14)) END AS rho
+  FROM (SELECT source, md5_number_lower(w) AS h FROM words)
+),
+sregs AS (SELECT source, idx, max(rho) AS rho FROM regs GROUP BY source, idx),
+sraw AS (
+  SELECT source,
+         {fold}
+  FROM sregs GROUP BY source
+),
+sest AS (SELECT source, {est_expr} AS est FROM sraw),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+uregs AS (
+  SELECT p.source_a, p.source_b, r.idx, max(r.rho) AS rho
+  FROM pairs p JOIN sregs r ON r.source IN (p.source_a, p.source_b)
+  GROUP BY p.source_a, p.source_b, r.idx
+),
+uraw AS (
+  SELECT source_a, source_b,
+         {fold}
+  FROM uregs GROUP BY source_a, source_b
+),
+uest AS (SELECT source_a, source_b, {est_expr} AS est FROM uraw)
+SELECT p.source_a, p.source_b,
+       CAST(floor(ea.est + 0.5) AS BIGINT) AS est_a,
+       CAST(floor(eb.est + 0.5) AS BIGINT) AS est_b,
+       CAST(floor(u.est + 0.5) AS BIGINT) AS est_union,
+       CAST(floor(ea.est + eb.est - u.est + 0.5) AS BIGINT) AS est_overlap
+FROM pairs p
+JOIN sest ea ON ea.source = p.source_a
+JOIN sest eb ON eb.source = p.source_b
+JOIN uest u ON u.source_a = p.source_a AND u.source_b = p.source_b
+"""
+
+
+EXACT_QUERIES["hll_source_overlap"] = (hll_source_overlap,
+                                       _hll_overlap_oracle_sql())
 
 
 def winnow_dup_pairs_q(sf_dir: str):
@@ -2552,6 +2654,8 @@ ROWS_ONLY_QUERIES.update({
     # next-fit CTE + limb-split splitmix64 bucket oracle)
     # winnow_dup_pairs: PROMOTED to EXACT_QUERIES in round 5 (chained
     # FNV-1a byte CTEs + window-of-w minima + shared-fp self-join oracle)
-    "hll_source_overlap": hll_source_overlap,
+    # hll_source_overlap: PROMOTED to EXACT_QUERIES in round 5 (md5_u64
+    # word hashes + exact-integer register-sum estimator reproduced
+    # bit-for-bit in DuckDB — an estimator-exact oracle)
 })
 EXACT_QUERIES["simhash_pairs"] = (simhash_pairs, _simhash_oracle_sql())
