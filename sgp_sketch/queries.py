@@ -2456,11 +2456,74 @@ def partition_plans(sf_dir: str):
 def cms_heavy_hitters_all(sf_dir: str):
     """Approximate heavy hitters, GLOBAL ('*') top-20 plus per-source
     top-5, from the one sketch build — global and grouped variants
-    consolidated into a single driver-visible table."""
+    consolidated into a single driver-visible table.
+
+    Oracle-paired (round 5): at gate-corpus vocabulary sizes both the
+    global (width 2048, sparse limit 5120 keys) and per-source (width
+    512, limit 1280) merged sketches stay in the SPARSE exact regime and
+    the candidate pool never trims (trim threshold 4*track_keys=256), so
+    heavy_hitters returns exact counts with the deterministic
+    (-count, token_id) tie-break — reproducible in SQL as FNV-1a/31-bit
+    word ids + exact grouped counts + row_number. The oracle therefore
+    hash-checks the ENTIRE sketch pipeline (tokenize, per-batch partial,
+    merge shuffle, candidate tracking, estimator) in the regime where
+    its answer is provably exact; the dense-grid estimator path stays
+    pytest-covered (test_sketches CMS error bounds)."""
     g = cms_heavy_hitters(sf_dir)
     g.insert(0, "source", "*")
     p = cms_heavy_hitters_per_source(sf_dir)
     return pd.concat([g, p[g.columns]], ignore_index=True)
+
+
+def _cms_hh_oracle_sql() -> str:
+    """DuckDB mirror of cms_heavy_hitters_all: word -> token_id via a
+    recursive FNV-1a/32 CTE over bytes (text is ASCII so ord == byte;
+    h < 2^32 and prime 0x01000193 < 2^25 keep every product inside
+    BIGINT), masked to 31 bits (h % 2^31) exactly like
+    ``hashing.fnv1a32_array``; counts grouped BY TOKEN ID (so two words
+    colliding to one id merge, matching the sketch), top-20 global +
+    top-5 per source by (count DESC, token_id)."""
+    return """
+WITH RECURSIVE
+wc AS (
+  SELECT source, w, count(*) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY source, w
+),
+vocab AS (SELECT DISTINCT w FROM wc),
+fnv(w, i, h) AS (
+  SELECT w, 0, CAST(2166136261 AS BIGINT) FROM vocab
+  UNION ALL
+  SELECT w, i + 1,
+         (xor(h, CAST(ord(substr(w, i + 1, 1)) AS BIGINT)) * 16777619)
+           % 4294967296
+  FROM fnv WHERE i < length(w)
+),
+tok AS (SELECT w, h % 2147483648 AS token_id FROM fnv WHERE i = length(w)),
+scounts AS (
+  SELECT wc.source, t.token_id, CAST(sum(wc.c) AS BIGINT) AS cnt
+  FROM wc JOIN tok t ON t.w = wc.w
+  GROUP BY wc.source, t.token_id
+),
+gcounts AS (
+  SELECT token_id, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM scounts GROUP BY token_id
+),
+gtop AS (
+  SELECT '*' AS source, token_id, cnt AS est_count,
+         row_number() OVER (ORDER BY cnt DESC, token_id) AS rank
+  FROM gcounts QUALIFY rank <= 20
+),
+stop AS (
+  SELECT source, token_id, cnt AS est_count,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, token_id) AS rank
+  FROM scounts QUALIFY rank <= 5
+)
+SELECT source, token_id, est_count, rank FROM gtop
+UNION ALL
+SELECT source, token_id, est_count, rank FROM stop
+"""
 
 
 def _query_table_10k(sf_dir: str, n_queries: int = 10_000, seed: int = 29):
@@ -2639,7 +2702,9 @@ def partition_workload_sweep(sf_dir: str):
 ROWS_ONLY_QUERIES.clear()
 ROWS_ONLY_QUERIES.update({
     "sketch_estimates": sketch_estimates,
-    "cms_heavy_hitters": cms_heavy_hitters_all,
+    # cms_heavy_hitters: PROMOTED to EXACT_QUERIES in round 5 (FNV-1a/31
+    # recursive-CTE token ids; sparse-regime exactness + deterministic
+    # tie-break make the full sketch pipeline hash-checkable)
     "partition_plans": partition_plans,
     "hdrf_user_event_graph": hdrf_user_event_graph,
     # simhash_pairs: PROMOTED to EXACT_QUERIES in round 5 (md5_u64 word
@@ -2659,3 +2724,5 @@ ROWS_ONLY_QUERIES.update({
     # bit-for-bit in DuckDB — an estimator-exact oracle)
 })
 EXACT_QUERIES["simhash_pairs"] = (simhash_pairs, _simhash_oracle_sql())
+EXACT_QUERIES["cms_heavy_hitters"] = (cms_heavy_hitters_all,
+                                      _cms_hh_oracle_sql())
