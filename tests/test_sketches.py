@@ -462,3 +462,52 @@ class TestKMV:
         sk.update(np.array([f"w{i}" for i in range(150)], dtype=object))
         sk.update(np.array([f"w{i}" for i in range(150)], dtype=object))
         assert sk.estimate() == 150.0
+
+
+class TestOraclePromotionGuards:
+    """Regression guards for the round-5 estimator-exact oracle pairings:
+    if a future change breaks the regime assumption the DuckDB oracle
+    relies on, fail HERE (with a pointed message) instead of as an opaque
+    hash mismatch at the driver's correctness gate."""
+
+    def test_hll_exact_integer_estimator_matches_production(self):
+        """queries._hll_est_exact (the oracle-side estimator) must track
+        HyperLogLog.estimate to float-rounding distance on arbitrary
+        register states — both raw-regime and linear-counting regime."""
+        from sgp_sketch.hashing import md5_u64
+        from sgp_sketch.queries import _hll_est_exact
+        from sgp_sketch.sketches.hll import HyperLogLog
+
+        for n, seed in ((40, 1), (5_000, 2), (300_000, 3)):
+            rng = np.random.default_rng(seed)
+            vals = np.unique(rng.integers(0, 10**12, size=n))
+            h = HyperLogLog(p=14)
+            h.update_hashes(md5_u64(vals.astype(str).astype(object)))
+            a, b = _hll_est_exact(h.registers), h.estimate()
+            assert abs(a - b) <= 1e-9 * max(1.0, b), (n, a, b)
+
+    def test_cms_gate_corpus_stays_in_sparse_exact_regime(self, sf_small):
+        """The cms_heavy_hitters oracle is exact ONLY while (a) the merged
+        sketches stay sparse and (b) the candidate pool never trims. Both
+        hold iff the corpus vocabulary is under every threshold involved:
+        per-source sparse limit 5*512/2 = 1280 and candidate trim bound
+        4*track_keys = 256. Verify against the real gate corpus AND assert
+        the merged global sketch object is in fact still sparse."""
+        import pyarrow.parquet as pq
+
+        from sgp_sketch.queries import _sketch_result
+        from sgp_sketch.schema import documents_path
+
+        words = pq.read_table(documents_path(sf_small), columns=["text"])
+        vocab = set()
+        for t in words["text"].to_pylist():
+            vocab.update(t.split(" "))
+        assert len(vocab) <= 256, (
+            "corpus vocabulary outgrew the CMS candidate-trim bound — the "
+            "cms_heavy_hitters DuckDB oracle is no longer provably exact; "
+            "re-derive the pairing or demote the query to rows-only")
+        res = _sketch_result(sf_small)
+        cms = res.get("cms")
+        assert cms.is_sparse, "merged global CMS densified at gate scale"
+        assert len(cms._candidates) == len(
+            {int(c) for c in cms._candidates}) <= 4 * cms.track_keys
