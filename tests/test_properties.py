@@ -139,3 +139,35 @@ def test_kmv_split_invariant(data, cuts):
     assert np.array_equal(merged.values, ref.values)
     back = sketch_from_bytes(merged.to_bytes())
     assert np.array_equal(back.hashes, ref.hashes)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=33,
+                                               max_codepoint=126),
+                        min_size=0, max_size=24),
+                min_size=1, max_size=20, unique=True))
+def test_fnv1a32_recursive_cte_matches_python(words):
+    """The cms_heavy_hitters oracle derives token ids in SQL via a
+    recursive per-byte FNV-1a CTE; property-check it against
+    hashing.fnv1a32 for arbitrary printable-ASCII words (incl. the
+    empty string), not just the gate corpus vocabulary."""
+    import duckdb
+
+    from sgp_sketch.hashing import fnv1a32
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vocab(w VARCHAR)")
+    con.executemany("INSERT INTO vocab VALUES (?)", [[w] for w in words])
+    got = dict(con.execute("""
+WITH RECURSIVE fnv(w, i, h) AS (
+  SELECT w, 0, CAST(2166136261 AS BIGINT) FROM vocab
+  UNION ALL
+  SELECT w, i + 1,
+         (xor(h, CAST(ord(substr(w, i + 1, 1)) AS BIGINT)) * 16777619)
+           % 4294967296
+  FROM fnv WHERE i < length(w)
+)
+SELECT w, h % 2147483648 FROM fnv WHERE i = length(w)
+""").fetchall())
+    for w in words:
+        assert got[w] == (fnv1a32(w) & 0x7FFFFFFF), w
