@@ -44,11 +44,18 @@ def partition_lookup(pmap: pd.DataFrame):
     ``np.searchsorted`` + equality check per endpoint instead of a
     Python-level dict probe per row (VERDICT r04 ask #3), and both
     arrays are numpy so ``ray.get`` of their refs is a zero-copy plasma
-    read in every task — no per-batch dict deserialization."""
+    read in every task — no per-batch dict deserialization.
+
+    Matching is on the 64-bit SipHash of the vertex id: two distinct
+    vertices colliding would share a partition label — ~n^2/2^64
+    probability (~1e-7 at n=1M), the same accepted exposure documented
+    at ``vertexstate._keys_of``. Duplicate vertex rows in ``pmap``
+    resolve deterministically to the FIRST occurrence (stable sort +
+    leftmost searchsorted)."""
     from .hashing import hash_str
 
     hv = hash_str(np.asarray(pmap["vertex"], dtype=object))
-    order = np.argsort(hv)
+    order = np.argsort(hv, kind="stable")
     return hv[order], pmap["partition"].to_numpy()[order].astype(np.int64)
 
 
@@ -149,7 +156,8 @@ def two_hop_cross_partition(edges, pmap: pd.DataFrame, *,
     }
 
 
-def bfs_layers(edges, source: str, *, max_depth: int = 10) -> pd.DataFrame:
+def bfs_layers(edges, source: str, *, max_depth: int = 10,
+               graph=None) -> pd.DataFrame:
     """Single-source BFS distances — unit-weight frontier-sparse rounds
     on the SHARDED graph (round-4 verdict ask #2): per-vertex visited
     state lives in the shard actors, each round relaxes only edges whose
@@ -158,10 +166,17 @@ def bfs_layers(edges, source: str, *, max_depth: int = 10) -> pd.DataFrame:
     visited map. Unit-weight Bellman-Ford rounds ARE BFS: after round r
     every distance <= r is final, so ``max_rounds=max_depth`` yields
     exactly the depth-capped layer set.
+
+    Pass ``graph=`` to reuse a live ``ShardedGraph`` built over the same
+    edges: only the newest ShardedGraph per k is live, so letting this
+    build its own graph RESETS the shared default-k actor pool and any
+    ShardedGraph the caller still holds at that k raises the stale-
+    generation guard afterwards.
     """
     from .vertexstate import ShardedGraph
 
-    out = ShardedGraph(edges).sssp(source, max_rounds=max_depth)
+    g = graph if graph is not None else ShardedGraph(edges)
+    out = g.sssp(source, max_rounds=max_depth)
     out = out.reset_index(drop=True)
     if not len(out):
         # a source with no incident edges is still a BFS layer of one
@@ -205,7 +220,8 @@ def bfs_layers_rescan(edges, source: str, *,
 
 
 def bidirectional_bfs_distance(edges, src: str, dst: str, *,
-                               max_depth: int = 10) -> int | None:
+                               max_depth: int = 10,
+                               graph=None) -> int | None:
     """Shortest-path length between two vertices (the reference's smoke
     workload, shortestPathTest.groovy:166-219), depth-capped.
 
@@ -217,11 +233,13 @@ def bidirectional_bfs_distance(edges, src: str, dst: str, *,
     place, so the single-direction form is both simpler and free of the
     driver-side visited dicts the old implementation kept.
 
-    ``edges`` must be undirected (see sources.undirect_edges).
+    ``edges`` must be undirected (see sources.undirect_edges). As with
+    ``bfs_layers``, pass ``graph=`` to reuse a live ShardedGraph instead
+    of resetting the shared default-k pool.
     """
     if src == dst:
         return 0
-    dist = bfs_layers(edges, src, max_depth=max_depth)
+    dist = bfs_layers(edges, src, max_depth=max_depth, graph=graph)
     hit = dist.loc[dist["vertex"] == dst, "dist"]
     return int(hit.iloc[0]) if len(hit) else None
 
@@ -309,8 +327,8 @@ def connected_components_ds(edges, *, max_rounds: int = 64,
 def bfs_partition_pruned(edges, pmap: pd.DataFrame, source, *,
                          max_depth: int = 10, labeled=None,
                          k: int | None = None,
-                         dist: pd.DataFrame | None = None
-                         ) -> tuple[pd.DataFrame, float]:
+                         dist: pd.DataFrame | None = None,
+                         graph=None) -> tuple[pd.DataFrame, float]:
     """Partition-pruned BFS: distances come from the SHARDED frontier
     rounds (``bfs_layers`` — round-4 verdict ask #2: no driver visited
     dict, no per-round edge rescans), and the pruning metric — the
@@ -338,7 +356,7 @@ def bfs_partition_pruned(edges, pmap: pd.DataFrame, source, *,
     if labeled is None:
         labeled = label_edges(edges, pmap, k)
     if dist is None:
-        dist = bfs_layers(edges, source, max_depth=max_depth)
+        dist = bfs_layers(edges, source, max_depth=max_depth, graph=graph)
 
     # per-partition edge-row counts: one vectorized count fold over the
     # labeled set (no sort, no split — only the counts matter here)

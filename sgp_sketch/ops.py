@@ -315,17 +315,26 @@ def interval_join(left, right, *, key: str, left_t: str, right_key: str,
     if num_partitions is None:
         num_partitions = join_partitions()
 
+    def _us(col) -> np.ndarray:
+        # grid_us is an EPOCH-MICROSECOND contract: normalize any
+        # timestamp unit through Arrow first (a ns-unit column read as
+        # raw int64 would make every interval cover 1000x more grid
+        # cells — a silent replication blowup, not just wrong cells)
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us", getattr(col.type, "tz", None)))
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
     def _left_cells(t: pa.Table) -> pa.Table:
         # FLOOR division via numpy: Arrow's divide truncates toward zero,
         # which would put negative (pre-1970) timestamps in a different
         # cell than the right side's floor and silently miss matches
-        ts = t[left_t].to_pandas().astype("int64").to_numpy()
+        ts = _us(t[left_t])
         cell = ts // grid_us
         return t.append_column("__cell", pa.array(cell.astype("int64")))
 
     def _right_cells(t: pa.Table) -> pa.Table:
-        lo = t[right_start].to_pandas().astype("int64").to_numpy()
-        hi = t[right_end].to_pandas().astype("int64").to_numpy()
+        lo = _us(t[right_start])
+        hi = _us(t[right_end])
         c0 = lo // grid_us
         c1 = np.maximum((hi - 1) // grid_us, c0)  # end exclusive
         reps = (c1 - c0 + 1).astype("int64")

@@ -22,7 +22,11 @@ from __future__ import annotations
 
 import os
 
-_TERMINAL = 'set terminal pngcairo size 960,600\n'
+# every script declares the missing-cell sentinel dat_block emits ('?'):
+# without it stock gnuplot treats '?' as BAD data (warnings, broken
+# lines) instead of a cleanly skipped point
+_TERMINAL = ('set terminal pngcairo size 960,600\n'
+             'set datafile missing "?"\n')
 
 
 def dat_block(rows: list[dict], columns: list[str],
@@ -33,7 +37,9 @@ def dat_block(rows: list[dict], columns: list[str],
     if header:
         out.append("# " + "\t".join(columns))
     for r in rows:
-        out.append("\t".join(str(r[c]) for c in columns))
+        # a JSON null must become the missing sentinel, not literal "None"
+        out.append("\t".join(
+            "?" if r.get(c) is None else str(r[c]) for c in columns))
     return "\n".join(out) + "\n"
 
 

@@ -34,6 +34,40 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 
+def _combiner_table(g: pd.DataFrame, src: pa.Table) -> pa.Table:
+    """Arrow-ify an in-batch combiner partial with STABLE key dtypes.
+
+    An all-filtered or empty input batch leaves object-dtype key columns
+    empty, and ``pa.Table.from_pandas`` infers an empty object column as
+    Arrow ``null`` — a mixed-schema block entering the groupby shuffle
+    (Ray's permissive promotion absorbs it today, with a
+    streaming_executor_state warning; a strict-schema executor would
+    hard-fail). Columns that also exist in the SOURCE batch keep the
+    source's Arrow type, so every partial block agrees on schema
+    regardless of row count.
+    """
+    # strip the from_pandas schema metadata too: blocks whose schemas
+    # differ only in metadata defeat Ray's schema dedup/unification
+    tbl = pa.Table.from_pandas(g, preserve_index=False) \
+        .replace_schema_metadata(None)
+    fields = [
+        pa.field(f.name, src.schema.field(f.name).type)
+        if (f.name in src.column_names
+            and f.type != src.schema.field(f.name).type) else f
+        for f in tbl.schema
+    ]
+    schema = pa.schema(fields)
+    return tbl if schema == tbl.schema else tbl.cast(schema)
+
+
+def _ts_epoch_us(col) -> np.ndarray:
+    """Epoch-microseconds of a timestamp column regardless of its stored
+    unit (a ns- or ms-unit parquet would otherwise silently mis-bucket
+    every window by 1000x)."""
+    return col.cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+
+
 def _typed_or(out, schema: dict):
     """Re-type an all-empty collected result (Ray drops schema when every
     block is empty) so column selection and driver comparison stay stable."""
@@ -78,7 +112,7 @@ def q1_lineitem_pricing(sf_dir: str):
             sum_disc=("l_discount", "sum"),
             n_rows=("l_discount", "size"),
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _combiner_table(g, t)
 
     out = (
         ds.map_batches(_partial, batch_format="pyarrow")
@@ -163,7 +197,7 @@ def events_hourly(sf_dir: str):
     def _partial(t: pa.Table) -> pa.Table:
         # keys stay int64 epoch-hours through the shuffle; the ~windows
         # final rows get formatted once at the end (no per-row strftime)
-        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        us = _ts_epoch_us(t["ts"])
         df = pd.DataFrame({
             "event_type": t["event_type"].to_pandas(),
             "hour_s": (us // 3_600_000_000) * 3600,
@@ -172,7 +206,7 @@ def events_hourly(sf_dir: str):
         g = df.groupby(["event_type", "hour_s"], sort=False).agg(
             n_events=("value", "size"),
             sum_value=("value", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _combiner_table(g, t)
 
     out = (
         ds.map_batches(_partial, batch_format="pyarrow")
@@ -210,7 +244,7 @@ def user_event_stats(sf_dir: str):
             n_events=("value", "size"),
             sum_value=("value", "sum"),
             max_value=("value", "max")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _combiner_table(g, t)
 
     out = (
         ds.map_batches(_partial, batch_format="pyarrow")
@@ -244,7 +278,7 @@ def parts_by_brand(sf_dir: str):
             n_parts=("p_retailprice", "size"),
             sum_price=("p_retailprice", "sum"),
             min_size=("p_size", "min")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _combiner_table(g, t)
 
     out = (
         ds.map_batches(_partial, batch_format="pyarrow")
@@ -287,7 +321,7 @@ def lineitem_shipped_revenue(sf_dir: str):
         g = df.groupby("l_returnflag", sort=False).agg(
             n_rows=("revenue", "size"),
             revenue=("revenue", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _combiner_table(g, t)
 
     out = (
         ds.map_batches(filt, batch_format="pyarrow")
@@ -500,7 +534,7 @@ def embedding_label_norms(sf_dir: str):
                            "norm": np.sqrt((m * m).sum(axis=1))})
         g = df.groupby("label", sort=False).agg(
             n=("norm", "size"), sum_norm=("norm", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _combiner_table(g, t)
 
     out = (
         ds.map_batches(_partial, batch_format="pyarrow")
@@ -1009,7 +1043,7 @@ def events_sliding_window(sf_dir: str):
         # shuffle, with int64 keys (no per-row strftime anywhere)
         import numpy as np
 
-        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        us = _ts_epoch_us(t["ts"])
         win = (us // 3_600_000_000) * 3600
         et = t["event_type"].to_pandas()
         val = t["value"].to_pandas()
@@ -1021,7 +1055,7 @@ def events_sliding_window(sf_dir: str):
         g = df.groupby(["event_type", "window_s"], sort=False).agg(
             n_events=("value", "size"),
             sum_value=("value", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _combiner_table(g, t)
 
     out = (
         ds.map_batches(explode_windows, batch_format="pyarrow")

@@ -620,6 +620,33 @@ class ShardedGraph:
         from .ops import split_by_partition
 
         self.k = k
+
+        # src and dst must share ONE id type: integer columns key as
+        # themselves, anything else keys via SipHash — a mixed graph
+        # would key the same vertex differently per column (and lose
+        # the original-id sidecar for the hashed side), so fail loudly
+        # at build time instead of returning silently wrong components.
+        sch = edges.schema()
+        types = dict(zip(sch.names, sch.types))
+
+        def _is_int(t) -> bool:
+            # Ray schemas carry Arrow types for Arrow-backed blocks but
+            # plain numpy/Python types for pandas-backed ones
+            if isinstance(t, pa.DataType):
+                return pa.types.is_integer(t)
+            try:
+                return np.dtype(t).kind in "iu"
+            except TypeError:
+                return False
+
+        s_int = _is_int(types["src"])
+        d_int = _is_int(types["dst"])
+        if s_int != d_int:
+            raise ValueError(
+                "ShardedGraph requires src and dst to share one id type; "
+                f"got src={types['src']}, dst={types['dst']}. Cast both "
+                "columns to string (or both to an integer type) upstream.")
+
         self.shards = _get_shards(k)
         _GEN[k] = _GEN.get(k, 0) + 1
         self._gen = _GEN[k]

@@ -1,0 +1,123 @@
+"""Regression tests for the round-5 hardening pass: stable combiner
+schemas, timestamp-unit independence, mixed-dtype graph rejection,
+ShardedGraph reuse from the BFS wrappers, and gnuplot missing-value
+handling."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+# --- combiner partial schema stability ----------------------------------
+
+def test_combiner_table_types_empty_partial_keys():
+    from sgp_sketch.queries import _combiner_table
+
+    src = pa.table({"flag": pa.array(["A", "B"], pa.string()),
+                    "x": pa.array([1.0, 2.0])})
+    # an all-filtered batch: groupby over zero rows leaves object keys
+    empty = pd.DataFrame({"flag": pd.Series([], dtype=object),
+                          "n": pd.Series([], dtype="int64"),
+                          "s": pd.Series([], dtype="float64")})
+    g = empty.groupby("flag", sort=False).agg(
+        n=("n", "sum"), s=("s", "sum")).reset_index()
+    tbl = _combiner_table(g, src)
+    # WITHOUT the helper this infers null (mixed-schema shuffle blocks)
+    assert tbl.schema.field("flag").type == pa.string()
+    # a non-empty partial keeps its inferred (matching) types untouched
+    full = pd.DataFrame({"flag": ["A"], "n": [2], "s": [3.0]})
+    tbl2 = _combiner_table(full, src)
+    assert tbl2.schema.field("flag").type == pa.string()
+    assert tbl2["n"].to_pylist() == [2]
+
+
+# --- timestamp-unit independence ----------------------------------------
+
+def test_ts_epoch_us_unit_agnostic():
+    from sgp_sketch.queries import _ts_epoch_us
+
+    base = pd.Timestamp("2024-03-01 12:34:56")
+    for unit in ("s", "ms", "us", "ns"):
+        col = pa.chunked_array(
+            [pa.array(pd.Series([base]).astype(f"datetime64[{unit}]"))])
+        assert _ts_epoch_us(col)[0] == base.value // 1000  # ns -> us
+
+
+def test_interval_join_same_result_any_timestamp_unit():
+    from sgp_sketch.ops import interval_join
+
+    left_us = pd.DataFrame({
+        "k": [1, 1, 2],
+        "t": pd.Series(pd.to_datetime([8, 15, 15], unit="us"))
+        .astype("datetime64[us]"),
+        "lv": [10, 11, 14],
+    })
+    right_us = pd.DataFrame({
+        "rk": [1, 2],
+        "start": pd.Series(pd.to_datetime([8, 100], unit="us"))
+        .astype("datetime64[us]"),
+        "end": pd.Series(pd.to_datetime([23, 110], unit="us"))
+        .astype("datetime64[us]"),
+        "rv": [7, 8],
+    })
+
+    def run(lf, rf):
+        out = interval_join(_ds(lf), _ds(rf), key="k", left_t="t",
+                            right_key="rk", right_start="start",
+                            right_end="end", grid_us=10).to_pandas()
+        return sorted(out["lv"].tolist())
+
+    res_us = run(left_us, right_us)
+    left_ns = left_us.assign(t=left_us["t"].astype("datetime64[ns]"))
+    right_ns = right_us.assign(
+        start=right_us["start"].astype("datetime64[ns]"),
+        end=right_us["end"].astype("datetime64[ns]"))
+    # pre-fix, ns inputs made every interval cover 1000x more grid cells
+    assert run(left_ns, right_ns) == res_us == [10, 11]
+
+
+# --- ShardedGraph hardening ---------------------------------------------
+
+def test_sharded_graph_rejects_mixed_id_types():
+    from sgp_sketch.vertexstate import ShardedGraph
+
+    e = pd.DataFrame({"src": [1, 2], "dst": ["a", "b"]})
+    with pytest.raises(ValueError, match="one id type"):
+        ShardedGraph(_ds(e), k=2)
+
+
+def test_bfs_layers_graph_reuse_keeps_caller_graph_live():
+    from sgp_sketch.analytics import bfs_layers
+    from sgp_sketch.vertexstate import ShardedGraph
+
+    e = pd.DataFrame({"src": ["a", "b", "b", "c"],
+                      "dst": ["b", "a", "c", "b"]})
+    g = ShardedGraph(_ds(e))
+    out = bfs_layers(_ds(e), "a", max_depth=4, graph=g)
+    assert dict(zip(out["vertex"], out["dist"]))["c"] == 2
+    # the caller's graph must still be live (no hidden pool reset)
+    g.sssp("b", max_rounds=2)
+
+
+# --- gnuplot missing-value handling -------------------------------------
+
+def test_plot_scripts_declare_missing_sentinel():
+    from sgp_sketch.plots import dat_block, workload_time_plot
+
+    records = [
+        {"algorithm": "hash", "k": 16,
+         "workloads": {"sssp": {"wall_sec": 0.9, "n_rows": 9}}},
+        {"algorithm": "fennel", "k": 16, "workloads": {}},
+    ]
+    dat, gnu = workload_time_plot(records, "sssp")
+    assert 'set datafile missing "?"' in gnu
+    # JSON nulls must render as the sentinel, not the literal "None"
+    block = dat_block([{"a": 1, "b": None}], ["a", "b"])
+    assert block.splitlines()[1] == "1\t?"
