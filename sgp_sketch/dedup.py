@@ -243,13 +243,28 @@ def minhash_lsh_pipeline(
     a, b = minhash_params(n_perm, seed)
     rows = n_perm // bands
 
-    # stateless task (closure over the tiny perm params): a standing actor
-    # pool here would reserve CPUs and can starve the downstream task-pool
-    # operators on small sessions (two actor pools at 4 CPUs deadlock)
-    def signer(batch: pd.DataFrame) -> pd.DataFrame:
+    # stateless tasks (closures over the tiny perm params): a standing
+    # actor pool here would reserve CPUs and can starve the downstream
+    # task-pool operators on small sessions (two actor pools at 4 CPUs
+    # deadlock). Signatures are computed in ONE text pass and MATERIALIZED
+    # (n_perm*8 B/doc in the object store, spillable — always far smaller
+    # than the corpus): both consumers (band bucketing here, the tile
+    # expansion's signature join below) read the stored bytes instead of
+    # re-shingling the corpus, and the two-consumer lazy-lineage
+    # re-execution trap (measured 5x on cand) can't reappear.
+    def _sig_tbl(batch: pd.DataFrame) -> pd.DataFrame:
         words = [_shingles(ws, shingle)
                  for ws in batch[text_col].str.split(" ").tolist()]
         sig = minhash_signatures(words, a, b)
+        return pd.DataFrame({"vertex": batch[doc_col].to_numpy(),
+                             "sig": [row.tobytes() for row in sig]})
+
+    sig_tbl = ds.select_columns([doc_col, text_col]).map_batches(
+        _sig_tbl, batch_format="pandas").materialize()
+
+    def signer(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = np.frombuffer(b"".join(batch["sig"]),
+                            dtype=np.uint64).reshape(-1, n_perm)
         band_hash = np.empty((len(batch), bands), dtype=np.uint64)
         for bi in range(bands):
             seg = sig[:, bi * rows:(bi + 1) * rows]
@@ -259,13 +274,13 @@ def minhash_lsh_pipeline(
             band_hash[:, bi] = h
         return pd.DataFrame(
             {
-                doc_col: np.repeat(batch[doc_col].to_numpy(), bands),
+                doc_col: np.repeat(batch["vertex"].to_numpy(), bands),
                 "band": np.tile(np.arange(bands, dtype=np.int32), len(batch)),
                 "bucket": band_hash.reshape(-1).astype("uint64"),
             }
         )
 
-    buckets = ds.map_batches(signer, batch_format="pandas")
+    buckets = sig_tbl.map_batches(signer, batch_format="pandas")
 
     # ---- candidate generation via STAR EDGES + connected components.
     # A near-dup cluster collides in (nearly) every band, so naive
@@ -343,13 +358,6 @@ def minhash_lsh_pipeline(
     pref_t = max(0.0, jaccard_threshold
                  - max(0.10, 8.0 * float(np.sqrt(jaccard_threshold
                        * (1.0 - jaccard_threshold) / n_perm))))
-
-    def _sig_tbl(batch: pd.DataFrame) -> pd.DataFrame:
-        words = [_shingles(ws, shingle)
-                 for ws in batch[text_col].str.split(" ").tolist()]
-        sig = minhash_signatures(words, a, b)
-        return pd.DataFrame({"vertex": batch[doc_col].to_numpy(),
-                             "sig": [row.tobytes() for row in sig]})
 
     # A mega-component must not expand in ONE task: docs get a chunk rank
     # within their component, every (ci<=cj) chunk TILE becomes an
@@ -479,8 +487,8 @@ def minhash_lsh_pipeline(
 
         tiles = comp_ds.map_batches(_route_comp, batch_format="pandas") \
             .groupby("ckey").map_groups(_tiles_group, batch_format="pandas")
-        sig_tbl = ds.select_columns([doc_col, text_col]).map_batches(
-            _sig_tbl, batch_format="pandas")
+        # sig_tbl is the MATERIALIZED signature table computed once at the
+        # top of the pipeline — no second shingling pass over the corpus
         with_sig = tiles.join(
             sig_tbl, join_type="inner", num_partitions=join_partitions(),
             on=("vertex",))
