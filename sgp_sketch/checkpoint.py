@@ -140,7 +140,11 @@ def run_checkpointed(
         checkpointed_rows.extend(t.to_pylist())
 
     fresh_rows: list[dict] = []
-    if len(done) < k:
+    # resume gate is the manifest's base_complete flag, NOT partition
+    # count: a plan can route sources to fewer than k partitions, and
+    # len(done) < k would then re-stream the whole corpus on EVERY
+    # resume of an already-finished build just to produce zero rows
+    if not manifest.get("base_complete"):
         amap_ref = ray.put(amap)
         from .pipeline import make_updater_fn
 

@@ -148,6 +148,9 @@ def exact_discrete_quantiles(ds, value_col: str, qs: list[float]) -> pd.DataFram
     )
     counts = hist["sum(cnt)"].to_numpy()
     values = hist[value_col].to_numpy()
+    if len(counts) == 0:
+        # empty stream: NaN per quantile (the KLL/t-digest convention)
+        return pd.DataFrame({"q": qs, "value": [float("nan")] * len(qs)})
     cum = np.cumsum(counts)
     n = int(cum[-1])
     out = []
@@ -172,17 +175,14 @@ def broadcast_join(ds, small_df: pd.DataFrame, on: str, select: list[str] | None
         small_df = small_df[cols]
     ref = ray.put(small_df)
 
-    class Joiner:
-        def __init__(self):
-            self.small = ray.get(ref)
+    # stateless task fn, NOT an actor pool: ray.get of the broadcast is a
+    # worker-local plasma read per batch (the make_updater_fn pattern —
+    # effectively free), while an actor pool pays ~4s cold start each and
+    # is the documented two-pool deadlock shape on small sessions
+    def joiner(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(ref), on=on, how="inner")
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how="inner")
-
-    import ray as _ray
-
-    ncpu = int(_ray.cluster_resources().get("CPU", 4))
-    return ds.map_batches(Joiner, batch_format="pandas", concurrency=max(2, ncpu // 2))
+    return ds.map_batches(joiner, batch_format="pandas")
 
 
 def asof_join(left, right, *, on: str, by: str, right_on: str | None = None,
@@ -351,9 +351,17 @@ def interval_join(left, right, *, key: str, left_t: str, right_key: str,
                      on=(key, "__cell"), right_on=(right_key, "__cell"))
 
     def _contain(t: pa.Table) -> pa.Table:
-        ts = pc.cast(t[left_t], pa.int64())
-        lo = pc.cast(t[right_start], pa.int64())
-        hi = pc.cast(t[right_end], pa.int64())
+        # same unit normalization as the cell routing: raw int64 ticks
+        # from mixed-unit sides would silently drop every cross-unit match
+        def _ticks(col):
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.timestamp("us",
+                                            getattr(col.type, "tz", None)))
+            return pc.cast(col, pa.int64())
+
+        ts = _ticks(t[left_t])
+        lo = _ticks(t[right_start])
+        hi = _ticks(t[right_end])
         keep = pc.and_(pc.greater_equal(ts, lo), pc.less(ts, hi))
         out = t.filter(keep)
         return out.drop_columns(["__cell"])

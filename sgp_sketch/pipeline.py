@@ -210,7 +210,6 @@ class SketchUpdater:
         pid_rows = np.empty(len(n_tok), dtype=np.int64)
         row_order = np.argsort(codes, kind="stable")
         row_bounds = np.searchsorted(codes[row_order], np.arange(len(sources) + 1))
-        salted: dict[int, np.ndarray] = {}
         for si, source in enumerate(sources):
             rows = row_order[row_bounds[si]:row_bounds[si + 1]]
             parts = self._source_partitions(source)
@@ -219,7 +218,6 @@ class SketchUpdater:
             else:
                 shard = hash_str(doc_ids[rows]) % np.uint64(len(parts))
                 pid_rows[rows] = parts[shard.astype(np.int64)]
-                salted[si] = rows
 
         per_source = [s for s in self.specs if s.per_source]
         global_specs = [s for s in self.specs if s.global_scope]
@@ -506,7 +504,11 @@ def build_sketches(
     else:
         partials = ds.map_batches(
             SketchUpdater,
-            fn_constructor_args=(specs, k, amap_ref),
+            # same options as the task-pool path: dropping head_sources
+            # here would re-open the per-source partial blowup that
+            # max_tracked_sources bounds, and global_per_pid=True would
+            # ship k-fold more global partial bytes
+            fn_constructor_args=(specs, k, amap_ref, None, False, head),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,

@@ -125,10 +125,18 @@ class BlockedBloomFilter(Sketch):
         return hit.all(axis=0)
 
     def estimate(self):
-        """Finalize: fill ratio and the classic FPR upper estimate."""
+        """Finalize READ-ONLY: fill ratio and the classic FPR upper
+        estimate. Sparse filters count the distinct bits their pending
+        hashes would set instead of densifying in place — densifying
+        here would silently change ``contains()`` semantics (sparse
+        membership is exact) and the ``to_bytes`` encoding depending on
+        whether estimate() was called first."""
         if self._pending is not None:
-            self._densify()
-        fill = float(np.unpackbits(self.words.view(np.uint8)).mean())
+            nset = (len(np.unique(self._bit_indices(self._pending)))
+                    if len(self._pending) else 0)
+            fill = nset / self.n_bits
+        else:
+            fill = float(np.unpackbits(self.words.view(np.uint8)).mean())
         return {"fill_ratio": fill, "fpr_estimate": float(fill ** self.k),
                 "n_added": self.n_added}
 

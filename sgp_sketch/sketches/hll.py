@@ -172,7 +172,10 @@ class HyperLogLog(Sketch):
 
     # -- serialization ----------------------------------------------------
     def to_bytes(self) -> bytes:
-        if self._dense is None and len(self._sparse) * 3 < self.m:
+        # sparse entry cost is 5 bytes (int32 key + uint8 rho): switch to
+        # the dense encoding as soon as dense is smaller, or the "compact"
+        # partials ship up to ~53% LARGER through the merge shuffle
+        if self._dense is None and len(self._sparse) * 5 < self.m:
             ks = np.fromiter(self._sparse.keys(), dtype=np.int32, count=len(self._sparse))
             vs = np.fromiter(self._sparse.values(), dtype=np.uint8, count=len(self._sparse))
             order = np.argsort(ks)

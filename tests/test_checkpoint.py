@@ -41,11 +41,14 @@ class TestCheckpointResume:
         ds = tokens_dataset(sf_small)
         full = run_checkpointed(ds, ckpt_dir, k=4, batch_size=100, concurrency=2)
 
-        # simulate a crash that lost partitions 1 and 3 mid-run
+        # simulate a crash that lost partitions 1 and 3 mid-run: a real
+        # mid-run crash dies BEFORE base_complete is written (the flag is
+        # the last step of a full pass), so drop it too
         manifest = json.load(open(_manifest_path(ckpt_dir)))
         for pid in ("1", "3"):
             del manifest["partitions"][pid]
             shutil.rmtree(os.path.join(ckpt_dir, f"part={pid}"))
+        manifest.pop("base_complete", None)
         with open(_manifest_path(ckpt_dir), "w") as f:
             json.dump(manifest, f)
 
@@ -68,6 +71,41 @@ class TestCheckpointResume:
                                    batch_size=100, concurrency=2)
         assert resumed.metrics["fresh_partitions"] == []
         assert resumed.metrics["n_rows"] == 500
+
+    def test_complete_build_with_empty_partitions_skips_restream(
+            self, sf_small, ckpt_dir):
+        # a plan can route every source to fewer than k partitions; the
+        # resume gate must be base_complete, not len(done) == k, or every
+        # resume of a finished build re-streams the corpus for zero rows.
+        # The greedy planner balances all k, so pin the scenario with a
+        # stored plan (resume always reuses the stored plan verbatim)
+        # that routes every source to partitions 0-3 of k=8.
+        import pyarrow.parquet as _pq
+        from sgp_sketch.schema import documents_path
+
+        srcs = sorted(set(_pq.read_table(
+            documents_path(sf_small), columns=["source"])["source"]
+            .to_pylist()))
+        os.makedirs(ckpt_dir, exist_ok=True)
+        with open(os.path.join(ckpt_dir, "plan.json"), "w") as f:
+            json.dump({"k": 8,
+                       "amap": {s: [i % 4] for i, s in enumerate(srcs)}},
+                      f)
+        full = run_checkpointed(tokens_dataset(sf_small), ckpt_dir, k=8,
+                                batch_size=100, concurrency=2)
+        manifest = json.load(open(_manifest_path(ckpt_dir)))
+        assert len(manifest["partitions"]) < 8
+        assert manifest["base_complete"] is True
+
+        def boom(t):
+            raise RuntimeError("resume re-streamed a complete build")
+
+        poisoned = tokens_dataset(sf_small).map_batches(
+            boom, batch_format="pyarrow")
+        resumed = run_checkpointed(poisoned, ckpt_dir, k=8,
+                                   batch_size=100, concurrency=2)
+        assert resumed.metrics["fresh_partitions"] == []
+        assert resumed.counts == full.counts
 
     def test_plan_is_stable_across_resume(self, sf_small, ckpt_dir):
         ds = tokens_dataset(sf_small)
