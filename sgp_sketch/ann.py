@@ -22,6 +22,11 @@ def _stack(batch_col) -> np.ndarray:
     arr = batch_col
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if len(arr) == 0:
+        # width is unknowable for an empty variable-length list column;
+        # callers early-return on empty batches before any matmul
+        d = arr.type.list_size if pa.types.is_fixed_size_list(arr.type) else 0
+        return np.empty((0, d), dtype=np.float64)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     if pa.types.is_fixed_size_list(arr.type):
         d = arr.type.list_size
@@ -34,6 +39,27 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     norm = np.linalg.norm(m, axis=1, keepdims=True)
     norm[norm == 0] = 1.0
     return m / norm
+
+
+def _local_topk_idx(row: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the ``kk`` best rows under (sim DESC, id ASC).
+
+    Bare ``argpartition`` keeps an ARBITRARY subset of rows tied at the
+    kk-th similarity, so a per-batch partial could drop the lower-id tied
+    rows the global (sim DESC, id ASC) fold — and the SQL oracle's
+    row_number() — would pick. Boundary ties are resolved by id; the
+    lexsort only runs when ties actually straddle the boundary, so the
+    common case stays O(n)."""
+    n = len(row)
+    if n <= kk:
+        return np.arange(n)
+    part = np.argpartition(-row, kk - 1)[:kk]
+    thr = row[part].min()
+    cand = np.flatnonzero(row >= thr)
+    if len(cand) <= kk:
+        return part  # top-k set is unique; order is the global fold's job
+    order = np.lexsort((ids[cand], -row[cand]))
+    return cand[order[:kk]]
 
 
 def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
@@ -54,14 +80,20 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10
             self.qm, self.qids = ray.get(qref)
 
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            x = _normalize(_stack(batch[vec_col]))
             ids = batch[id_col].to_numpy(zero_copy_only=False)
+            if len(batch) == 0:
+                return pd.DataFrame({
+                    "query_id": pd.Series([], dtype=np.asarray(self.qids).dtype),
+                    id_col: pd.Series([], dtype=ids.dtype),
+                    "sim": pd.Series([], dtype="float64"),
+                })
+            x = _normalize(_stack(batch[vec_col]))
             sims = self.qm @ x.T  # (q, n)
             kk = min(k, sims.shape[1])
             out = []
             for qi in range(sims.shape[0]):
                 row = sims[qi]
-                idx = np.argpartition(-row, kk - 1)[:kk]
+                idx = _local_topk_idx(row, ids, kk)
                 out.append(pd.DataFrame({
                     "query_id": self.qids[qi],
                     id_col: ids[idx],
@@ -121,14 +153,21 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
         def __init__(self):
             self.qm, self.qids, planes, ring = ray.get(qref)
             self.planes = planes
-            self.ring = ring
+            # sorted array once per actor, not a list() per batch
+            self.ring = np.fromiter(ring, dtype=np.int64)
             self.weights = (1 << np.arange(planes.shape[1], dtype=np.int64))
 
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            x = _normalize(_stack(batch[vec_col]))
             ids = batch[id_col].to_numpy(zero_copy_only=False)
+            if len(batch) == 0:
+                return pd.DataFrame({
+                    "query_id": pd.Series([], dtype=np.asarray(self.qids).dtype),
+                    id_col: pd.Series([], dtype=ids.dtype),
+                    "sim": pd.Series([], dtype="float64"),
+                })
+            x = _normalize(_stack(batch[vec_col]))
             buckets = ((x @ self.planes) > 0).astype(np.int64) @ self.weights
-            mask = np.isin(buckets, list(self.ring))
+            mask = np.isin(buckets, self.ring)
             if not mask.any():
                 return pd.DataFrame({
                     "query_id": pd.Series([], dtype=np.asarray(self.qids).dtype),
@@ -142,7 +181,7 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
             out = []
             for qi in range(sims.shape[0]):
                 row = sims[qi]
-                idx = np.argpartition(-row, kk - 1)[:kk]
+                idx = _local_topk_idx(row, ids, kk)
                 out.append(pd.DataFrame({
                     "query_id": self.qids[qi],
                     id_col: ids[idx],
@@ -207,8 +246,10 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
 
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     sample = ds.select_columns([vec_col]).limit(train_rows)
-    mats = [_stack(bt[vec_col])
-            for bt in sample.iter_batches(batch_format="pyarrow")]
+    mats = [m for bt in sample.iter_batches(batch_format="pyarrow")
+            if len(m := _stack(bt[vec_col]))]
+    if not mats:
+        raise ValueError("cannot train a quantizer on an empty corpus")
     train = _normalize(np.vstack(mats))
     cents = _spherical_kmeans(train, n_centroids, seed=seed)
     # per-query probe set union (queries are few; rows filter on the union
@@ -223,8 +264,14 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
             self.qm, self.qids, self.cents, self.probe = ray.get(qref)
 
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            x = _normalize(_stack(batch[vec_col]))
             ids = batch[id_col].to_numpy(zero_copy_only=False)
+            if len(batch) == 0:
+                return pd.DataFrame({
+                    "query_id": pd.Series([], dtype=np.asarray(self.qids).dtype),
+                    id_col: pd.Series([], dtype=ids.dtype),
+                    "sim": pd.Series([], dtype="float64"),
+                })
+            x = _normalize(_stack(batch[vec_col]))
             assign = (x @ self.cents.T).argmax(axis=1)
             mask = np.isin(assign, self.probe)
             if not mask.any():
@@ -240,7 +287,7 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
             out = []
             for qi in range(sims.shape[0]):
                 row = sims[qi]
-                idx = np.argpartition(-row, kk - 1)[:kk]
+                idx = _local_topk_idx(row, ids, kk)
                 out.append(pd.DataFrame({
                     "query_id": self.qids[qi],
                     id_col: ids[idx],
@@ -333,10 +380,21 @@ def cosine_neardup_pairs(ds, threshold: float = 0.95,
                 sims = ma @ mb.T
                 ii, jj = np.nonzero(sims >= threshold)
                 a, b = ids_a[ii], ids_b[jj]
-                keep = a < b
+                s = sims[ii, jj]
+                if int(bi) == int(bj):
+                    # self-pair tile: keep one direction, drop diagonal
+                    keep = a < b
+                    a, b, s = a[keep], b[keep], s[keep]
+                else:
+                    # cross-block tile visits each pair ONCE — canonicalize
+                    # by swapping, never by filtering (a<b filter silently
+                    # dropped pairs whenever ids weren't globally sorted
+                    # across blocks)
+                    lo, hi = np.minimum(a, b), np.maximum(a, b)
+                    keep = lo < hi
+                    a, b, s = lo[keep], hi[keep], s[keep]
                 outs.append(pd.DataFrame({
-                    "id_a": a[keep], "id_b": b[keep],
-                    "sim": sims[ii, jj][keep].round(6),
+                    "id_a": a, "id_b": b, "sim": s.round(6),
                 }))
             if not outs:
                 return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
@@ -471,6 +529,10 @@ def ann_query_table_topk(corpus_ds, query_ds, *, k: int = 10,
             for bt in sample.iter_batches(batch_format="pyarrow")]
     cents = _spherical_kmeans(_normalize(np.vstack(mats)), n_centroids,
                               seed=seed)
+    # the quantizer can come back with FEWER centroids than requested
+    # (tiny sample); the replication math keys off the real count or
+    # _query_rows mis-shapes its columns
+    n_probe = min(n_probe, len(cents))
     cref = ray.put(cents)
     dim = cents.shape[1]
 
@@ -517,7 +579,16 @@ def ann_query_table_topk(corpus_ds, query_ds, *, k: int = 10,
         cids = cm_["rid"].to_numpy()
         sims = Q @ C.T
         kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        if kk == sims.shape[1]:
+            idx = np.broadcast_to(np.arange(kk), (len(qids), kk)).copy()
+        else:
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # repair only the rows whose kk-th similarity is tied past the
+            # boundary: bare argpartition keeps an arbitrary tied subset,
+            # which could drop the lower-id rows the global fold needs
+            thr = np.take_along_axis(sims, idx, axis=1).min(axis=1)
+            for r in np.flatnonzero((sims >= thr[:, None]).sum(axis=1) > kk):
+                idx[r] = _local_topk_idx(sims[r], cids, kk)
         rows = np.repeat(np.arange(len(qids)), kk)
         cols = idx.reshape(-1)
         return pd.DataFrame({query_id_col: qids[rows],

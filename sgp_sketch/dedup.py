@@ -636,8 +636,11 @@ def simhash_pipeline(ds, *, hamming_threshold: int = 3,
             if e - s < 2:
                 continue
             if e - s > 1000:
+                import sys
+                # stderr: bench/scripts parse stdout (one-JSON-line
+                # contract) and worker fd 1 can reach the driver
                 print(f"[simhash] oversized chunk bucket: {e - s} docs — "
-                      f"emitting all pairs")
+                      f"emitting all pairs", file=sys.stderr)
             ii, jj = np.triu_indices(e - s, k=1)
             x = sigs[s:e][ii] ^ sigs[s:e][jj]
             ham = np.zeros(len(x), dtype=np.int64)

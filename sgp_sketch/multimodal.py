@@ -306,6 +306,13 @@ class MediaDecoder:
         return hist / total if total else hist
 
     def _decode_real(self, payload: bytes, media_type: str) -> np.ndarray:
+        return self._hist(self._pixels_real(payload, media_type))
+
+    def _pixels_real(self, payload: bytes, media_type: str) -> np.ndarray:
+        """Raw decoded sample array (pixels / |samples| / first-frame
+        luma) BEFORE histogramming — perceptual hashing must see pixels,
+        not the dim-bin feature histogram (48 of an aHash's 64 grid cells
+        would be empty constants over a 16-bin histogram)."""
         import io
 
         if media_type == "image":
@@ -315,11 +322,10 @@ class MediaDecoder:
             if px is None:
                 px = parse_bmp_gray(payload)
             if px is not None:
-                return self._hist(px)
+                return px
             if self.pil is not None:
                 img = self.pil.open(io.BytesIO(payload)).convert("L")
-                return self._hist(
-                    np.asarray(img, dtype=np.float64).reshape(-1))
+                return np.asarray(img, dtype=np.float64).reshape(-1)
         if media_type == "audio" and self.wave is not None:
             with self.wave.open(io.BytesIO(payload), "rb") as w:
                 raw = w.readframes(w.getnframes())
@@ -328,16 +334,16 @@ class MediaDecoder:
             if dt is None:
                 raise ValueError(f"unsupported WAV sample width {width}")
             samples = np.frombuffer(raw, dtype=dt).astype(np.int64)
-            return self._hist(np.abs(samples))
+            return np.abs(samples)
         if media_type == "video":
             frames = parse_y4m_frames(payload, max_frames=1)
             if frames:
-                return self._hist(frames[0].astype(np.float64).reshape(-1))
+                return frames[0].astype(np.float64).reshape(-1)
             if self.av is not None:
                 with self.av.open(io.BytesIO(payload)) as container:
                     frame = next(container.decode(video=0))
                     arr = frame.to_ndarray(format="gray")
-                return self._hist(arr.astype(np.float64).reshape(-1))
+                return arr.astype(np.float64).reshape(-1)
         raise NotImplementedError(
             f"no codec for media_type={media_type!r} payload in this "
             "environment (PNM/BMP images, WAV audio and Y4M video always "
@@ -354,6 +360,15 @@ class MediaDecoder:
         return hist / total if total else hist
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # typed empty output (np.vstack of an empty list raises)
+            return pa.Table.from_pydict({
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "n_bytes": pa.array([], pa.int64()),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.float64()), self.dim),
+            })
         payloads = batch["payload"].to_pylist()
         types = batch["media_type"].to_pylist()
         decode = self._decode_fake if self.mode == "fake" else self._decode_real
@@ -448,14 +463,23 @@ def phash_exact_dupes(media_ds, *, mode: str = "fake",
         def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
             payloads = batch["payload"].to_pylist()
             types = batch["media_type"].to_pylist()
-            decode = (self._decode_fake if self.mode == "fake"
-                      else self._decode_real)
-            hs = np.array([_ahash64(decode(p, t) * 255.0)
-                           for p, t in zip(payloads, types)], dtype=np.uint64)
+            if self.mode == "fake":
+                # deterministic stub: aHash over the byte histogram
+                vals = (self._decode_fake(p, t) * 255.0
+                        for p, t in zip(payloads, types))
+            else:
+                # real mode hashes RAW pixels (aHash is scale-invariant);
+                # hashing the dim-bin feature histogram left 48 of 64
+                # grid cells constant — collision-happy false dup groups
+                vals = (self._pixels_real(p, t)
+                        for p, t in zip(payloads, types))
+            hs = np.array([_ahash64(v) for v in vals], dtype=np.uint64)
             return pa.Table.from_pydict({
                 "media_id": batch["media_id"],
-                "phash": pa.array(hs.astype("int64")),
-                "bucket": pa.array((hs % np.uint64(64)).astype("int64")),
+                "phash": pa.array(hs.astype("int64"),
+                                  type=pa.int64()),
+                "bucket": pa.array((hs % np.uint64(64)).astype("int64"),
+                                   type=pa.int64()),
             })
 
     hashed = media_ds.map_batches(Hasher, fn_constructor_kwargs={"mode": mode},

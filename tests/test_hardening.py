@@ -121,3 +121,95 @@ def test_plot_scripts_declare_missing_sentinel():
     # JSON nulls must render as the sentinel, not the literal "None"
     block = dat_block([{"a": 1, "b": None}], ["a", "b"])
     assert block.splitlines()[1] == "1\t?"
+
+
+# --- ANN determinism / robustness ---------------------------------------
+
+def test_brute_force_topk_tie_break_lowest_ids():
+    import ray.data as rd
+    from sgp_sketch.ann import brute_force_topk
+
+    # 30 identical vectors: every sim ties at 1.0; (sim DESC, id ASC)
+    # must keep ids 0..9 regardless of argpartition's arbitrary picks
+    n, k = 30, 10
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [[1.0, 2.0, 3.0]] * n,
+    })
+    out = brute_force_topk(rd.from_pandas(df).repartition(3),
+                           np.array([[1.0, 2.0, 3.0]]),
+                           np.array([7]), k=k).to_pandas()
+    assert sorted(out["vec_id"].tolist()) == list(range(k))
+
+
+def test_cosine_neardup_pairs_unsorted_ids_across_blocks():
+    import ray.data as rd
+    from sgp_sketch.ann import cosine_neardup_pairs
+
+    # ids deliberately NOT globally sorted across blocks: the high id
+    # sits in the first block, its duplicate (low id) in a later one —
+    # the old `a < b` filter silently dropped the cross-block pair
+    df = pd.DataFrame({
+        "vec_id": np.array([100, 101, 5, 6], dtype=np.int64),
+        "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.5, 0.5]],
+    })
+    out = cosine_neardup_pairs(rd.from_pandas(df), threshold=0.99,
+                               target_block_rows=2).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (5, 100) in pairs  # exact duplicate pair, canonical order
+
+
+def test_ann_empty_batch_blocks_survive():
+    import ray.data as rd
+    from sgp_sketch.ann import brute_force_topk
+
+    df = pd.DataFrame({
+        "vec_id": np.arange(4, dtype=np.int64),
+        "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [0.3, 0.7]],
+    })
+    ds = rd.from_pandas(df).filter(lambda r: r["vec_id"] != 1)
+    out = brute_force_topk(ds, np.array([[1.0, 0.0]]),
+                           np.array([0]), k=2).to_pandas()
+    assert len(out) == 2 and 1 not in set(out["vec_id"])
+
+
+def test_ann_query_table_clamps_probe_to_trained_centroids():
+    import ray.data as rd
+    from sgp_sketch.ann import ann_query_table_topk
+
+    # 3-vector corpus, 64 requested centroids, n_probe=4 > trained cells
+    corpus = pd.DataFrame({
+        "vec_id": np.arange(3, dtype=np.int64),
+        "embedding": [[1.0, 0.0], [0.0, 1.0], [0.7, 0.7]],
+    })
+    qdf = pd.DataFrame({
+        "query_id": np.arange(2, dtype=np.int64),
+        "embedding": [[1.0, 0.1], [0.1, 1.0]],
+    })
+    out = ann_query_table_topk(
+        rd.from_pandas(corpus), rd.from_pandas(qdf), k=2,
+        n_centroids=64, n_probe=4).to_pandas()
+    assert set(out["query_id"]) == {0, 1}
+
+
+# --- perceptual hash hashes pixels, not feature histograms ---------------
+
+def test_phash_real_mode_separates_images_with_equal_histograms():
+    from sgp_sketch.multimodal import MediaDecoder, _ahash64
+
+    # two images with IDENTICAL gray histograms but different layouts:
+    # a left-bright/right-dark split vs its mirror — histogram-hashing
+    # cannot tell them apart, pixel aHash must
+    w = h = 8
+    a = np.zeros((h, w), dtype=np.uint8); a[:, : w // 2] = 255
+    b = np.zeros((h, w), dtype=np.uint8); b[:, w // 2:] = 255
+
+    def pgm(img):
+        return b"P5\n8 8\n255\n" + img.tobytes()
+
+    dec = MediaDecoder(mode="real")
+    pa_, pb_ = (dec._pixels_real(pgm(x), "image") for x in (a, b))
+    assert _ahash64(pa_) != _ahash64(pb_)
+    # while the dim-bin feature histograms are identical by construction
+    assert np.allclose(dec._decode_real(pgm(a), "image"),
+                       dec._decode_real(pgm(b), "image"))
