@@ -147,8 +147,11 @@ def two_hop_cross_partition(edges, pmap: pd.DataFrame, *,
 
     sums = paths.map_batches(partial, batch_format="pandas") \
         .sum(["n_paths", "hop_crossings"])
-    n_paths = int(sums["sum(n_paths)"])
-    crossings = int(sums["sum(hop_crossings)"])
+    # Ray Dataset.sum() on an empty dataset returns None (or a dict of
+    # None values) — zero 2-hop paths, e.g. a bipartite edge set whose
+    # dsts never reappear as srcs
+    n_paths = int((sums or {}).get("sum(n_paths)") or 0)
+    crossings = int((sums or {}).get("sum(hop_crossings)") or 0)
     return {
         "n_paths": n_paths,
         "hop_crossings": crossings,

@@ -355,19 +355,11 @@ def _heavy_edge_matching(n: int, eu: np.ndarray, ev: np.ndarray,
     capacity, and no initial partition can be balanced. Returns the
     coarse id of every fine vertex (matched pairs share one coarse id)."""
     order = rng.permutation(n)
-    # CSR over the undirected weighted edges, SYMMETRIZED: edges arrive
-    # canonical lo->hi, so without the reverse copies a vertex appearing
-    # only as the larger endpoint has empty adjacency and can never
-    # initiate a match — coarsening stalls early (quality, not
-    # correctness; refinement's _csr already symmetrizes)
-    su = np.concatenate([eu, ev])
-    sv = np.concatenate([ev, eu])
-    sw = np.concatenate([ew, ew])
-    deg = np.bincount(su, minlength=n)
-    ptr = np.concatenate(([0], np.cumsum(deg)))
-    sort = np.argsort(su, kind="stable")
-    adj_v = sv[sort]
-    adj_w = sw[sort]
+    # symmetrized CSR (shared _csr helper): edges arrive canonical
+    # lo->hi, so without the reverse copies a vertex appearing only as
+    # the larger endpoint has empty adjacency and can never initiate a
+    # match — coarsening stalls early (quality, not correctness)
+    ptr, adj_v, adj_w = _csr(n, eu, ev, ew)
     match = np.full(n, -1, dtype=np.int64)
     for v in order:
         if match[v] != -1:

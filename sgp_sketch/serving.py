@@ -124,6 +124,9 @@ def run_concurrent_workload(shards, vmap: dict, vertices: list, *,
     """
     import ray
 
+    if not vertices:
+        raise ValueError("run_concurrent_workload needs a non-empty "
+                         "vertex list to sample queries from")
     k = len(shards) - 1  # last shard is the unmapped-source overflow
     done_counts = np.zeros(n_clients, dtype=np.int64)
     latencies: list[list[float]] = [[] for _ in range(n_clients)]
@@ -166,17 +169,34 @@ def run_concurrent_workload(shards, vmap: dict, vertices: list, *,
             fanouts[cid].append(fan)
             done_counts[cid] += 1
 
-    threads = [threading.Thread(target=client, args=(c,))
+    def client_safe(cid: int):
+        # a client dying before a barrier (dead shard actor, bad query)
+        # must ABORT the barriers, not strand the driver at wait() forever
+        try:
+            client(cid)
+        except BaseException:
+            for b in (start_barrier, timed_barrier, go_barrier):
+                b.abort()
+            raise
+
+    threads = [threading.Thread(target=client_safe, args=(c,))
                for c in range(n_clients)]
     for t in threads:
         t.start()
-    start_barrier.wait()
-    timed_barrier.wait()
-    # per-call shard counters: reset while every client is parked at the
-    # go barrier, so served/imbalance/percentiles reflect ONLY this
-    # call's timed queries (not warm-ups or earlier concurrency levels)
-    ray.get([s.reset_stats.remote() for s in shards])
-    go_barrier.wait()
+    try:
+        start_barrier.wait()
+        timed_barrier.wait()
+        # per-call shard counters: reset while every client is parked at
+        # the go barrier, so served/imbalance/percentiles reflect ONLY
+        # this call's timed queries (not warm-ups or earlier levels)
+        ray.get([s.reset_stats.remote() for s in shards])
+        go_barrier.wait()
+    except threading.BrokenBarrierError:
+        for t in threads:
+            t.join()
+        raise RuntimeError(
+            "a workload client failed before the timed window opened "
+            "(see the client thread's traceback above)") from None
     t_start = time.perf_counter()
     for t in threads:
         t.join()
@@ -232,10 +252,14 @@ def concurrent_query_bench(sf_dir: str, *, algorithms=("hash", "fennel"),
     vertices = sorted({r["vertex"] for r in
                        adj.select_columns(["vertex"]).take_all()})
     results = []
+    # load_delta compares PARTITIONINGS (the module's stated purpose):
+    # each algorithm's per-shard load diffs against the FIRST algorithm
+    # at the SAME concurrency level — same total query volume, so the
+    # delta measures load redistribution, not the doubled client count
+    level_baseline: dict[int, list] = {}
     for alg in algorithms:
         pm, met = partition_graph_stream(adj, k=k, algorithm=alg)
         shards, vmap = build_shards(edges, pm, k)
-        baseline = None
         for level in client_levels:
             runs = [run_concurrent_workload(
                         shards, vmap, vertices, n_clients=level,
@@ -245,12 +269,12 @@ def concurrent_query_bench(sf_dir: str, *, algorithms=("hash", "fennel"),
             r["qps_rounds"] = [x["qps"] for x in runs]
             r["algorithm"] = alg
             r["edge_cut_ratio"] = round(met["edge_cut_ratio"], 6)
-            if baseline is None:
-                baseline = r["shard_requests"]
-                r["load_delta"] = None
+            base = level_baseline.get(level)
+            if base is None:
+                level_baseline[level] = r["shard_requests"]
+                r["load_delta"] = None  # first algorithm IS the baseline
             else:
-                rep = load_delta_report(baseline,
-                                        r["shard_requests"])
+                rep = load_delta_report(base, r["shard_requests"])
                 r["load_delta"] = {
                     "max_abs_delta": rep["max_abs_delta"],
                     "imbalance_after": rep["imbalance_after"]}

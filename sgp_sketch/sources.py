@@ -85,6 +85,9 @@ def parse_adjacency_batch(batch: pa.Table, *, edge_labels: set | None = None,
         counts = np.bincount(kept_rows, minlength=n_rows)
         offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
         nbrs = pa.ListArray.from_arrays(pa.array(offsets), kept_targets)
+        # degree must describe THIS row's neighbor list: after a label
+        # filter the file's declared degree over-counts dropped edges
+        degrees = pa.array(counts.astype(np.int64), pa.int64())
     return pa.Table.from_arrays(
         [pc.cast(vertices, pa.string()), degrees, pc.cast(nbrs, pa.list_(pa.string()))],
         schema=ADJ_SCHEMA,
@@ -111,12 +114,19 @@ def read_snap_edges(path: str):
         text = batch["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        keep = pc.invert(pc.starts_with(pc.utf8_trim_whitespace(text), "#"))
+        # TRIM before splitting: ' a b' would otherwise split to
+        # ['', 'a', 'b'] — a bogus ('', 'a') edge and the real one lost
+        text = pc.utf8_trim_whitespace(text)
+        keep = pc.invert(pc.starts_with(text, "#"))
         parts = pc.split_pattern_regex(text.filter(keep), r"\s+")
-        flat = parts.to_pylist()
-        src = [p[0] for p in flat if len(p) >= 2 and p[0] != p[1]]
-        dst = [p[1] for p in flat if len(p) >= 2 and p[0] != p[1]]
-        return pa.table({"src": src, "dst": dst})
+        # Arrow kernels end-to-end (module contract: per batch, not per
+        # line): first two tokens, drop short lines and self-loops
+        ok = pc.greater_equal(pc.list_value_length(parts), 2)
+        parts = parts.filter(ok)
+        src = pc.list_element(parts, 0)
+        dst = pc.list_element(parts, 1)
+        real = pc.invert(pc.equal(src, dst))
+        return pa.table({"src": src.filter(real), "dst": dst.filter(real)})
 
     return rd.read_text(path).map_batches(parse, batch_format="pyarrow")
 
@@ -262,26 +272,49 @@ def write_metis(adj_ds, id_map: pd.DataFrame, path: str) -> int:
 
     Expects undirected adjacency (each edge appears in both endpoint rows;
     m = total_degree / 2 — the reference's reverse-edge union guarantees
-    this, snap2metis.scala:44). The dense map rides along as a broadcast
-    dict; METIS is inherently ONE ordered text file, so the driver streams
-    adjacency batches and materializes only the (vocab-scale) line table.
-    Returns m.
+    this, snap2metis.scala:44). The dense map broadcasts once via
+    ``ray.put``; line formatting runs distributed, the line table sorts by
+    dense id in the OBJECT STORE (METIS is inherently one ordered text
+    file), and the driver streams sorted batches to disk — it never holds
+    more than one batch (the old version kept an O(E) dict of every
+    neighbor id on the driver). Returns m.
     """
+    import ray
+
     mapping = dict(zip(id_map["vertex"], id_map["dense_id"]))
     n = len(mapping)
-    lines: dict[int, list] = {}
-    total_deg = 0
-    for b in adj_ds.iter_batches(batch_format="pyarrow"):
+    mref = ray.put(mapping)
+
+    def _lines(b: pa.Table) -> pd.DataFrame:
+        mp = ray.get(mref)
+        dids, lines, degs = [], [], []
         for v, nbrs in zip(b["vertex"].to_pylist(),
                            b["neighbors"].to_pylist()):
-            ids = sorted(mapping[x] for x in nbrs if x in mapping)
-            lines[mapping[v]] = ids
-            total_deg += len(ids)
-    m = total_deg // 2
+            ids = sorted(mp[x] for x in nbrs if x in mp)
+            dids.append(mp[v])
+            lines.append(" ".join(map(str, ids)))
+            degs.append(len(ids))
+        return pd.DataFrame({"dense_id": pd.Series(dids, dtype="int64"),
+                             "line": pd.Series(lines, dtype=object),
+                             "deg": pd.Series(degs, dtype="int64")})
+
+    rows = adj_ds.map_batches(_lines, batch_format="pyarrow") \
+        .sort("dense_id").materialize()
+    # single-column Dataset.sum returns a bare scalar (None when empty)
+    m = int(rows.sum("deg") or 0) // 2
+    expect = 1
     with open(path, "w") as f:
         f.write(f"{n} {m}\n")
-        for i in range(1, n + 1):
-            f.write(" ".join(map(str, lines.get(i, []))) + "\n")
+        for b in rows.iter_batches(batch_format="pandas"):
+            for did, line in zip(b["dense_id"], b["line"]):
+                while expect < int(did):  # isolated vertices: empty lines
+                    f.write("\n")
+                    expect += 1
+                f.write(line + "\n")
+                expect += 1
+        while expect <= n:
+            f.write("\n")
+            expect += 1
     return m
 
 

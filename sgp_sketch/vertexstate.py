@@ -733,9 +733,11 @@ class ShardedGraph:
         found = ray.get([s.sssp_init.remote(source) for s in shards])
         if not any(found):
             return out_empty
+        # honor max_rounds=0 (bfs_layers(max_depth=0) = the source only);
+        # only the no-cap default needs the >=1 floor for 1-vertex graphs
         rounds = max_rounds if max_rounds is not None \
             else max(self.n_vertices - 1, 1)
-        for _ in range(max(rounds, 1)):
+        for _ in range(rounds):
             outs = [shards[p].sssp_scatter.options(num_returns=k).remote()
                     for p in range(k)]
             if k == 1:

@@ -544,9 +544,13 @@ def test_concurrent_query_harness(sf_small):
         assert len(r["shard_requests"]) == 4
         assert sum(r["shard_requests"]) >= r["queries"]
         by_alg.setdefault(r["algorithm"], []).append(r)
-    # second level carries the load-delta report vs the first
-    assert by_alg["hash"][1]["load_delta"] is not None
-    assert by_alg["hash"][1]["load_delta"]["max_abs_delta"] > 0
+    # load_delta compares PARTITIONINGS: the first algorithm (hash) is
+    # the per-level baseline; fennel diffs against hash at the SAME
+    # level (same query volume — the delta measures redistribution)
+    assert all(r["load_delta"] is None for r in by_alg["hash"])
+    for r in by_alg["fennel"]:
+        assert r["load_delta"] is not None
+        assert r["load_delta"]["max_abs_delta"] >= 0
     # fan-out bounded by 1 home shard + at most k hop-2 shards (the
     # locality-beats-hash comparison is data-dependent at sf0.001;
     # the sf0.1 bench section records it)

@@ -213,3 +213,47 @@ def test_phash_real_mode_separates_images_with_equal_histograms():
     # while the dim-bin feature histograms are identical by construction
     assert np.allclose(dec._decode_real(pgm(a), "image"),
                        dec._decode_real(pgm(b), "image"))
+
+
+# --- sources / graph edge cases -----------------------------------------
+
+def test_read_snap_edges_whitespace_padded_lines(tmp_path):
+    from sgp_sketch.sources import read_snap_edges
+
+    p = tmp_path / "g.txt"
+    p.write_text("# comment\n  a b\nc d  \n e\te \n\n f \ng h\n")
+    out = read_snap_edges(str(p)).to_pandas()
+    pairs = sorted(zip(out["src"], out["dst"]))
+    # padded lines parse cleanly; self-loop (e,e), short line (f) and
+    # blanks drop; no empty-string vertices anywhere
+    assert pairs == [("a", "b"), ("c", "d"), ("g", "h")]
+
+
+def test_bfs_layers_depth_zero_is_source_only():
+    from sgp_sketch.analytics import bfs_layers
+
+    e = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "a"]})
+    out = bfs_layers(_ds(e), "a", max_depth=0)
+    assert out["vertex"].tolist() == ["a"]
+    assert out["dist"].tolist() == [0]
+
+
+def test_two_hop_zero_paths_returns_zero_not_crash():
+    from sgp_sketch.analytics import two_hop_cross_partition
+
+    # bipartite: dsts never reappear as srcs -> zero 2-hop paths
+    e = pd.DataFrame({"src": ["u1", "u2"], "dst": ["x", "y"]})
+    pmap = pd.DataFrame({"vertex": ["u1", "u2", "x", "y"],
+                         "partition": [0, 0, 1, 1]})
+    res = two_hop_cross_partition(_ds(e), pmap)
+    assert res["n_paths"] == 0 and res["hop_crossings"] == 0
+
+
+def test_labeled_adjacency_degree_matches_filtered_neighbors():
+    from sgp_sketch.sources import parse_adjacency_batch
+
+    t = pa.table({"text": ["v 3 knows,a likes,b knows,c"]})
+    out = parse_adjacency_batch(t, labeled=True, edge_labels={"knows"})
+    assert out["neighbors"].to_pylist() == [["a", "c"]]
+    # degree must describe the row's (filtered) list, not the file header
+    assert out["degree"].to_pylist() == [2]
