@@ -19,7 +19,10 @@ import numpy as np
 def imbalance_report(loads) -> dict:
     loads = np.asarray(loads, dtype=np.float64)
     if len(loads) == 0 or loads.sum() == 0:
-        return {"imbalance": 0.0, "percentiles": [0, 0, 0, 0, 0]}
+        # SAME shape as the normal branch: consumers reading 'total' or
+        # schema-checking the JSON must not hit a key/type flip exactly
+        # on the degenerate case
+        return {"imbalance": 0.0, "percentiles": [0.0] * 5, "total": 0.0}
     return {
         "imbalance": float(loads.max() / loads.mean()),
         "percentiles": [float(x) for x in

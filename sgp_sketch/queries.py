@@ -656,8 +656,8 @@ def hll_distinct_per_source(sf_dir: str):
     return pd.DataFrame(rows)
 
 
-def cms_heavy_hitters(sf_dir: str):
-    res = _sketch_result(sf_dir)
+def cms_heavy_hitters(sf_dir: str, res=None):
+    res = res if res is not None else _sketch_result(sf_dir)
     hh = res.get("cms").heavy_hitters(20)
     return pd.DataFrame({
         "token_id": [t for t, _ in hh],
@@ -1311,12 +1311,14 @@ def user_sessions(sf_dir: str):
                                  "n_sessions": pd.Series([], dtype="int64")})
         g = g.sort_by([("user_id", "ascending"), ("ts", "ascending")])
         u = g["user_id"].to_numpy(zero_copy_only=False)
-        ts = g["ts"].to_numpy(zero_copy_only=False) \
-            .astype("datetime64[s]").astype(np.int64)
+        # integer MICROSECOND gaps, exactly like the oracle's epoch_us:
+        # flooring to whole seconds made a 1800.3s gap read as 1800 and
+        # silently merge sessions the fractional-second oracle split
+        ts = _ts_epoch_us(g["ts"])
         new = np.ones(len(u), dtype=bool)
         new[1:] = u[1:] != u[:-1]
         brk = np.zeros(len(u), dtype=np.int64)
-        brk[1:] = (~new[1:]) & ((ts[1:] - ts[:-1]) > 30 * 60)
+        brk[1:] = (~new[1:]) & ((ts[1:] - ts[:-1]) > 30 * 60 * 1_000_000)
         starts = np.flatnonzero(new)
         n_events = np.diff(np.append(starts, len(u)))
         n_sessions = 1 + np.add.reduceat(brk, starts)
@@ -1333,12 +1335,12 @@ def user_sessions(sf_dir: str):
 
 USER_SESSIONS_SQL = """
 SELECT user_id, count(*) AS n_events,
-       CAST(1 + sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(1 + sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_sessions
 FROM (
     SELECT user_id,
-           epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
-               AS gap_s
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts)) AS gap_us
     FROM events
 )
 GROUP BY user_id
@@ -1590,6 +1592,27 @@ ROWS_ONLY_QUERIES["embedding_kmeans"] = embedding_kmeans
 
 _CURATION_Q6 = 600_000
 
+
+def curation_filter_batch(b: pd.DataFrame, min_q6: int | None = None,
+                          columns: list | None = None) -> pd.DataFrame:
+    """The ONE keep-predicate of the curation chain (quality threshold +
+    md5-first-hex-digit holdout split), shared by the oracle-gated
+    ``corpus_curation`` query and the ``cli curate`` materializer — two
+    copies of this rule could silently drift apart."""
+    import hashlib
+
+    from .text import quality_features
+
+    if min_q6 is None:
+        min_q6 = _CURATION_Q6
+    qf = quality_features(b[["doc_id", "text"]])
+    q6 = qf["quality_e6"].to_numpy()
+    first = np.array([hashlib.md5(t.encode("utf-8")).hexdigest()[0]
+                      for t in b["text"]])
+    keep = (q6 >= min_q6) & ~np.isin(first, ("0", "1"))
+    return b.loc[keep, columns] if columns is not None else b.loc[keep]
+
+
 # drop sets below this ship as one exact sorted int array; above it, a
 # blocked Bloom (the repo's own sketch) broadcasts instead (~1.3 MB at
 # 2^14 blocks vs 8 B/id) with an exact keyed-join confirmation pass
@@ -1675,20 +1698,11 @@ def corpus_curation(sf_dir: str):
     the documents; the non-canonical drop set broadcasts as an exact int
     array at oracle scale and as a Bloom + exact confirm join past 2M
     drops (``curation_keep_rows``)."""
-    import hashlib
-
-    from .text import quality_features
-
     clusters = dedup_clusters(sf_dir)
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
 
     def _filt(b: pd.DataFrame) -> pd.DataFrame:
-        qf = quality_features(b[["doc_id", "text"]])
-        q6 = qf["quality_e6"].to_numpy()
-        first = np.array([hashlib.md5(t.encode("utf-8")).hexdigest()[0]
-                          for t in b["text"]])
-        keep = (q6 >= _CURATION_Q6) & ~np.isin(first, ("0", "1"))
-        return b.loc[keep, ["doc_id", "source"]]
+        return curation_filter_batch(b, columns=["doc_id", "source"])
 
     kept = curation_keep_rows(
         ds.map_batches(_filt, batch_format="pandas"), clusters)
@@ -2307,11 +2321,11 @@ EXACT_QUERIES["embedding_dedup_clusters"] = (embedding_dedup_clusters,
 EXACT_QUERIES["langid_preds"] = (langid_preds, _langid_oracle_sql())
 
 
-def cms_heavy_hitters_per_source(sf_dir: str):
+def cms_heavy_hitters_per_source(sf_dir: str, res=None):
     """GROUPED approximate heavy hitters: top-5 tokens per source from the
     per-source count-min scopes the sketch pipeline already maintains —
     the grouped analogue of cms_heavy_hitters, no extra pass over data."""
-    res = _sketch_result(sf_dir)
+    res = res if res is not None else _sketch_result(sf_dir)
     rows = {"source": [], "rank": [], "token_id": [], "est_count": []}
     for scope in res.scopes("cms"):
         if scope == SCOPE_GLOBAL:
@@ -2503,9 +2517,10 @@ def cms_heavy_hitters_all(sf_dir: str):
     merge shuffle, candidate tracking, estimator) in the regime where
     its answer is provably exact; the dense-grid estimator path stays
     pytest-covered (test_sketches CMS error bounds)."""
-    g = cms_heavy_hitters(sf_dir)
+    res = _sketch_result(sf_dir)  # ONE build feeds both views
+    g = cms_heavy_hitters(sf_dir, res=res)
     g.insert(0, "source", "*")
-    p = cms_heavy_hitters_per_source(sf_dir)
+    p = cms_heavy_hitters_per_source(sf_dir, res=res)
     return pd.concat([g, p[g.columns]], ignore_index=True)
 
 

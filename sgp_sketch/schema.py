@@ -70,8 +70,12 @@ def generate_tokens_parquet(
         return sorted(
             os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
         )
+    # signature changed: remove only OUR artifacts (part files + _SIG) —
+    # a blanket wipe would destroy co-located user data and crash on
+    # subdirectories
     for f in os.listdir(out_dir):
-        os.remove(os.path.join(out_dir, f))
+        if f == "_SIG" or (f.startswith("part-") and f.endswith(".parquet")):
+            os.remove(os.path.join(out_dir, f))
 
     files = []
     n_files = (n_docs + rows_per_file - 1) // rows_per_file
