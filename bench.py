@@ -128,15 +128,21 @@ def run_bench() -> dict:
     # pre-warm the shared graph-shard actor pool (one-time ~4s of worker
     # imports, same session-setup class as the worker-pool warm above —
     # at 100TB these actors live for the cluster's lifetime, so steady
-    # state is what the per-query numbers measure)
-    from sgp_sketch.vertexstate import DEFAULT_SHARDS, _get_shards
+    # state is what the per-query numbers measure). Skipped entirely
+    # when the query section is disabled (--scaling subprocesses): the
+    # pre-warm would waste ~4s per subprocess and needlessly trip the
+    # documented num_cpus=0-pool raylet-warning trigger.
+    queries_to_run = [] if os.environ.get("SGP_BENCH_SKIP_QUERIES") \
+        else BENCH_QUERIES
+    if queries_to_run:
+        from sgp_sketch.vertexstate import DEFAULT_SHARDS, _get_shards
 
-    ray.get([s.n_owned.remote() for s in _get_shards(DEFAULT_SHARDS)])
+        ray.get([s.n_owned.remote() for s in _get_shards(DEFAULT_SHARDS)])
 
     from sgp_sketch.queries import all_queries
 
-    qs = all_queries()
-    for name in BENCH_QUERIES:
+    qs = all_queries() if queries_to_run else {}
+    for name in queries_to_run:
         best = float("inf")
         for _ in range(max(1, QUERY_REPEATS)):
             t = time.perf_counter()
@@ -286,11 +292,17 @@ def run_concurrent() -> dict:
 
 
 if __name__ == "__main__":
+    # Protect the one-JSON-line stdout contract the driver parses: Ray
+    # forwards SOME raylet warnings to fd 1 even with log_to_driver=False
+    # (the num_cpus=0-pool + blocked-ray.get trigger, CLAUDE.md r04), so
+    # route every fd-1 write to stderr for the run and emit the JSON on
+    # the saved real stdout — the same discipline cli.py applies.
+    _OUT = os.fdopen(os.dup(1), "w")
+    os.dup2(2, 1)
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        print(json.dumps(run_scaling()), file=_OUT)
     elif "--concurrent" in sys.argv:
-        print(json.dumps(run_concurrent()))
+        print(json.dumps(run_concurrent()), file=_OUT)
     else:
-        if os.environ.get("SGP_BENCH_SKIP_QUERIES"):
-            BENCH_QUERIES = []
-        print(json.dumps(run_bench()))
+        print(json.dumps(run_bench()), file=_OUT)
+    _OUT.flush()

@@ -61,6 +61,11 @@ def main():
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    unknown = only - set(qs)
+    if unknown:
+        # a typoed filter must not run zero queries and report all-green
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
     oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
@@ -95,7 +100,6 @@ def main():
             print(f"[FAIL-rows] {name}: {len(got)} vs {len(want)}")
             continue
         if not got.equals(want):
-            neq = (got != want).any(axis=1) if got.shape == want.shape else None
             detail = got.compare(want).head(3) if got.shape == want.shape else "shape"
             failures.append((name, f"values differ:\n{detail}"))
             print(f"[FAIL-vals] {name}:\n{detail}")
@@ -110,4 +114,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

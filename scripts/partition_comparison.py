@@ -16,7 +16,9 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sgp_sketch.partition import (HDRFEdgePartitioner, StreamingPartitioner,
                                   offline_multilevel_partition)
@@ -36,8 +38,10 @@ def make_graph(n_clusters=32, size=1500, intra=6, inter=1, seed=11):
             k_i = int(min(k_i, intra, i))
             nbrs = [members[int(rng.integers(0, i))] for _ in range(k_i)] if i else []
             if c and rng.random() < 0.2:
-                oc = int(rng.integers(0, c))
-                nbrs.append(f"c{oc}_{int(rng.integers(0, size))}")
+                # `inter` cross-cluster edges per selected tail vertex
+                for _ in range(max(1, int(inter))):
+                    oc = int(rng.integers(0, c))
+                    nbrs.append(f"c{oc}_{int(rng.integers(0, size))}")
             stream.append((v, list(dict.fromkeys(nbrs))))
     return stream
 

@@ -66,10 +66,15 @@ def generate_tokens_parquet(
     os.makedirs(out_dir, exist_ok=True)
     sig = f"v1:{n_docs}:{seed}:{vocab_size}:{n_sources}:{zipf_a}:{mean_len}:{rows_per_file}"
     sig_path = os.path.join(out_dir, "_SIG")
-    if os.path.exists(sig_path) and open(sig_path).read() == sig:
-        return sorted(
-            os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
-        )
+    expected = [os.path.join(out_dir, f"part-{s:05d}.parquet")
+                for s in range((n_docs + rows_per_file - 1) // rows_per_file)]
+    if os.path.exists(sig_path) and open(sig_path).read() == sig \
+            and all(os.path.exists(p) for p in expected):
+        # return exactly OUR shard list (a foreign *.parquet co-located
+        # in out_dir must not join the corpus only on cache hits, and a
+        # manually deleted shard must trigger regeneration, not a
+        # silently smaller corpus)
+        return expected
     # signature changed: remove only OUR artifacts (part files + _SIG) —
     # a blanket wipe would destroy co-located user data and crash on
     # subdirectories
