@@ -171,3 +171,25 @@ SELECT w, h % 2147483648 FROM fnv WHERE i = length(w)
 """).fetchall())
     for w in words:
         assert got[w] == (fnv1a32(w) & 0x7FFFFFFF), w
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=60),
+    st.integers(min_value=1, max_value=12),
+)
+def test_local_topk_idx_matches_full_sort(sim_levels, kk):
+    """ann._local_topk_idx == brute-force (sim DESC, id ASC) top-k for any
+    tie structure (few distinct sim levels force heavy boundary ties)."""
+    import numpy as np
+
+    from sgp_sketch.ann import _local_topk_idx
+
+    row = np.asarray(sim_levels, dtype=np.float64) / 5.0
+    ids = np.arange(len(row), dtype=np.int64)
+    got = _local_topk_idx(row, ids, kk)
+    want = np.lexsort((ids, -row))[:kk]
+    # selection must agree as a SET ordered by the total order: compare
+    # the (sim, id) multisets after canonical ordering (the helper may
+    # return an unordered unique top-k set when no boundary ties exist)
+    canon = sorted(zip(-row[got], ids[got]))
+    assert canon == sorted(zip(-row[want], ids[want]))
