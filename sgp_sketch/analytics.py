@@ -307,6 +307,9 @@ def connected_components(edges, *, max_rounds: int = 64) -> pd.DataFrame:
     """
     from .vertexstate import ShardedGraph
 
+    if edges.schema() is None:  # zero-row pair stream: nothing to label
+        return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
     return ShardedGraph(edges).connected_components(max_rounds=max_rounds)
 
 
@@ -321,8 +324,20 @@ def connected_components_ds(edges, *, max_rounds: int = 64,
     Returns (Dataset[vertex, component], n_vertices).
     """
     del rows_per_block  # blocks are per-shard now; kept for API compat
+    import ray
+
     from .vertexstate import ShardedGraph
 
+    # A pair-finding stage can legitimately produce ZERO edges (no
+    # near-dups at small scale); an empty Dataset has no schema, so
+    # short-circuit here — building a graph over it would fail loudly.
+    # Ids type as int64 (unknowable from a schema-less stream; every
+    # in-repo consumer casts through int64 anyway).
+    if edges.schema() is None:
+        empty = ray.data.from_arrow(pa.table(
+            {"vertex": pa.array([], pa.int64()),
+             "component": pa.array([], pa.int64())}))
+        return empty, 0
     return ShardedGraph(edges).connected_components_ds(
         max_rounds=max_rounds)
 

@@ -627,6 +627,11 @@ class ShardedGraph:
         # the original-id sidecar for the hashed side), so fail loudly
         # at build time instead of returning silently wrong components.
         sch = edges.schema()
+        if sch is None:
+            raise ValueError(
+                "ShardedGraph: the edge dataset is empty (no schema). "
+                "An empty pair stream has no graph to build — handle the "
+                "zero-edge case upstream (connected_components_ds does).")
         types = dict(zip(sch.names, sch.types))
 
         def _is_int(t) -> bool:

@@ -257,3 +257,40 @@ def test_labeled_adjacency_degree_matches_filtered_neighbors():
     assert out["neighbors"].to_pylist() == [["a", "c"]]
     # degree must describe the row's (filtered) list, not the file header
     assert out["degree"].to_pylist() == [2]
+
+
+# --- empty pair stream -> connected components ---------------------------
+
+def test_connected_components_ds_empty_pair_stream():
+    # a pair-finding stage can return ZERO pairs (no near-dups at small
+    # scale); the downstream filter leaves a schema-less Dataset, which
+    # must resolve to an empty component table, not an AttributeError
+    # (embedding_dedup_clusters at sf0.001 hit exactly this)
+    from sgp_sketch.analytics import connected_components_ds
+
+    e = _ds(pd.DataFrame({"src": [1, 2], "dst": [2, 3]}))
+    empty = e.filter(lambda r: False)
+    assert empty.schema() is None  # the shape that used to crash
+    cc, n = connected_components_ds(empty)
+    assert n == 0
+    # NOTE: ray 2.49 to_pandas() drops columns on an empty dataset, so
+    # the contract is the SCHEMA (same as ShardedGraph's own zero-vertex
+    # path); consumers branch on n == 0 before reading rows
+    assert cc.schema().names == ["vertex", "component"]
+    assert cc.count() == 0
+
+
+def test_connected_components_empty_pair_stream_driver_frame():
+    from sgp_sketch.analytics import connected_components
+
+    e = _ds(pd.DataFrame({"src": ["a"], "dst": ["b"]}))
+    out = connected_components(e.filter(lambda r: False))
+    assert list(out.columns) == ["vertex", "component"] and len(out) == 0
+
+
+def test_sharded_graph_rejects_schemaless_edges():
+    from sgp_sketch.vertexstate import ShardedGraph
+
+    e = _ds(pd.DataFrame({"src": [1], "dst": [2]}))
+    with pytest.raises(ValueError, match="empty"):
+        ShardedGraph(e.filter(lambda r: False))
