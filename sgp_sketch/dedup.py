@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .hashing import hash_str, splitmix64
-from .ops import join_partitions
+from .ops import drop_empty_blocks, join_partitions
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -487,13 +487,17 @@ def minhash_lsh_pipeline(
 
         tiles = comp_ds.map_batches(_route_comp, batch_format="pandas") \
             .groupby("ckey").map_groups(_tiles_group, batch_format="pandas")
+        # both map_groups outputs can carry schema-less empty shuffle
+        # partitions that flake the downstream joins — scrub at the
+        # block-ref level (ops.drop_empty_blocks docstring)
+        tiles = drop_empty_blocks(tiles)
         # sig_tbl is the MATERIALIZED signature table computed once at the
         # top of the pipeline — no second shingling pass over the corpus
         with_sig = tiles.join(
             sig_tbl, join_type="inner", num_partitions=join_partitions(),
             on=("vertex",))
-        cand = with_sig.groupby("tkey").map_groups(
-            _expand_tiles, batch_format="pandas")
+        cand = drop_empty_blocks(with_sig.groupby("tkey").map_groups(
+            _expand_tiles, batch_format="pandas"))
 
     if verify_mode == "join":
         return _verify_pairs_join(ds, cand, jaccard_threshold, doc_col,

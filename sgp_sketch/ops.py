@@ -456,3 +456,42 @@ def split_by_partition(ds, col: str, k: int):
     srt = ds.sort(col)
     parts = srt.split_at_indices(np.cumsum(counts)[:-1].tolist())
     return parts, counts
+
+
+def drop_empty_blocks(ds, schema: "pa.Schema | None" = None):
+    """Scrub zero-row blocks from a Dataset before a ``Dataset.join``.
+
+    Ray 2.49's hash-aggregate operators (``groupby().aggregate()`` /
+    ``map_groups``) emit SCHEMA-LESS empty blocks for shuffle partitions
+    that received no groups, and downstream map stages pass those blocks
+    through WITHOUT invoking the UDF (visible as the "Operator produced a
+    RefBundle with a different schema ... new schema: ." warnings). A
+    ``Dataset.join`` that resolves its side schema from such a block — or
+    whose hash partition receives only them — fails inside Acero with
+    "No match or multiple matches for key field reference", and WHICH
+    block goes first is scheduling-dependent, so the failure is flaky.
+
+    An aggregate output is already fully materialized (the groupby is an
+    all-to-all barrier), so filtering at the block-ref level costs one
+    metadata-only Ray task per block: Arrow deserialization is zero-copy
+    and ``num_rows`` never touches the row data. Rows never move and
+    never visit the driver. ``schema`` types the result when EVERY block
+    is empty (a legitimately empty aggregate, e.g. a filter that matched
+    nothing); without it a fully-empty input is returned unchanged.
+    """
+    import ray
+    import ray.data as rd
+
+    refs = ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    nrows = ray.get([_nrows.remote(r) for r in refs])
+    keep = [r for r, n in zip(refs, nrows) if n]
+    if keep:
+        return rd.from_arrow_refs(keep)
+    if schema is not None:
+        return rd.from_arrow(schema.empty_table())
+    return ds

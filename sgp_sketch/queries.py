@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from .ops import join_partitions
+from .ops import drop_empty_blocks, join_partitions
 from .pipeline import SCOPE_GLOBAL, build_sketches
 from .schema import tokens_dataset
 
@@ -1014,6 +1014,10 @@ def order_lineitem_join(sf_dir: str):
         .aggregate(Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
         .to_pandas()
     )
+    if out.empty:  # zero join matches: Ray drops the columns — re-type
+        return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
+                             "n_items": pd.Series([], dtype="int64"),
+                             "revenue": pd.Series([], dtype="float64")})
     out["revenue"] = out["revenue"].round(2)
     return out
 
@@ -2133,7 +2137,11 @@ def triangle_count(sf_dir: str):
         return pd.DataFrame({"doc_a": b.loc[m, "u"].astype("int64"),
                              "doc_b": b.loc[m, "v"].astype("int64")})
 
-    edges = dedup_pairs(co.map_batches(_orient, batch_format="pandas"))
+    # dedup_pairs is a Ray groupby: scrub the schema-less empty blocks
+    # its shuffle can emit before the edge stream feeds two more joins
+    edges = drop_empty_blocks(
+        dedup_pairs(co.map_batches(_orient, batch_format="pandas")),
+        schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]))
     def _ren(names):  # zero-copy Arrow renames on the full edge stream
         return lambda t: t.select(["doc_a", "doc_b"]).rename_columns(names)
 
@@ -2234,6 +2242,12 @@ def customers_without_orders(sf_dir: str):
     okeys = orders.map_batches(_dedup, batch_format="pyarrow") \
         .groupby("o_custkey").count() \
         .map_batches(_mark, batch_format="pandas")
+    # the aggregate can emit schema-less empty shuffle partitions that
+    # flake the join (ops.drop_empty_blocks docstring); scrub them, and
+    # type a fully-empty side (zero urgent orders) so the left_outer
+    # join still resolves its key
+    okeys = drop_empty_blocks(okeys, schema=pa.schema(
+        [("o_custkey", pa.int64()), ("__hit", pa.int64())]))
 
     joined = cust.join(okeys, join_type="left_outer", num_partitions=join_partitions(),
                        on=("c_custkey",), right_on=("o_custkey",))

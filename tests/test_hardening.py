@@ -294,3 +294,44 @@ def test_sharded_graph_rejects_schemaless_edges():
     e = _ds(pd.DataFrame({"src": [1], "dst": [2]}))
     with pytest.raises(ValueError, match="empty"):
         ShardedGraph(e.filter(lambda r: False))
+
+
+# --- schema-less empty shuffle partitions vs Dataset.join ----------------
+
+def test_drop_empty_blocks_scrubs_aggregate_shuffle_empties():
+    # Ray's hash aggregate emits SCHEMA-LESS empty blocks for shuffle
+    # partitions with no groups, and map stages pass them through without
+    # running the UDF; a downstream join can then resolve its side schema
+    # from one of them and die in Acero ("No match ... for key field").
+    import ray
+
+    from sgp_sketch.ops import drop_empty_blocks
+
+    few = _ds(pd.DataFrame({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]})) \
+        .repartition(4)  # multi-block input -> multi-partition shuffle
+    agg = few.groupby("k").count()  # few groups -> empty partitions
+    raw = [ray.get(r) for r in agg.to_arrow_refs()]
+    assert any(t.num_rows == 0 and not t.schema.names for t in raw), \
+        "fixture no longer reproduces Ray's schema-less empty blocks"
+
+    scrubbed = drop_empty_blocks(few.groupby("k").count())
+    blocks = [ray.get(r) for r in scrubbed.to_arrow_refs()]
+    assert blocks and all(t.num_rows > 0 for t in blocks)
+    assert all("k" in t.schema.names for t in blocks)
+
+    # and the join over the scrubbed side works
+    left = _ds(pd.DataFrame({"k": [1, 2, 9], "x": [10, 20, 90]}))
+    j = left.join(scrubbed, join_type="left_outer", num_partitions=4,
+                  on=("k",)).to_pandas()
+    assert len(j) == 3
+
+
+def test_drop_empty_blocks_types_fully_empty_side():
+    from sgp_sketch.ops import drop_empty_blocks
+
+    none = _ds(pd.DataFrame({"k": [1], "v": [1.0]})) \
+        .filter(lambda r: False).groupby("k").count()
+    sch = pa.schema([("k", pa.int64()), ("count()", pa.int64())])
+    out = drop_empty_blocks(none, schema=sch)
+    assert out.schema().names == ["k", "count()"]
+    assert out.count() == 0
