@@ -718,12 +718,23 @@ def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
         if len(b) == 0:
             return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
                                  "vbucket": pd.Series([], dtype="int64")})
-        vb = b["doc_a"].astype("int64") % _DEDUP_BUCKETS
-        out = pd.DataFrame({
-            "doc": pd.concat([b["doc_a"], b["doc_b"]]).astype("int64"),
-            "vbucket": pd.concat([vb, vb]).astype("int64"),
+        da = b["doc_a"].to_numpy(dtype=np.int64)
+        db = b["doc_b"].to_numpy(dtype=np.int64)
+        vb = da % _DEDUP_BUCKETS
+        # in-batch combiner at native width (pandas drop_duplicates was
+        # ~1s/batch here — the measured hot spot of the verify stage).
+        # doc_a's vbucket is a function of doc_a, so unique(doc_a) covers
+        # the a-side; the b-side dedupes (doc_b, vbucket) via lexsort
+        # (no packed doc*64+vb key: doc ids may use the full int64 range)
+        ua = np.unique(da)
+        order = np.lexsort((vb, db))
+        d2, v2 = db[order], vb[order]
+        keep = np.ones(len(d2), dtype=bool)
+        keep[1:] = (d2[1:] != d2[:-1]) | (v2[1:] != v2[:-1])
+        return pd.DataFrame({
+            "doc": np.concatenate([ua, d2[keep]]),
+            "vbucket": np.concatenate([ua % _DEDUP_BUCKETS, v2[keep]]),
         })
-        return out.drop_duplicates()  # in-batch combiner
 
     needed = cand.map_batches(_needed, batch_format="pandas")
     have = needed.join(sig_ds, join_type="inner",
@@ -747,22 +758,54 @@ def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
 
     def verify_group(g: pd.DataFrame) -> pd.DataFrame:
         sig_mask = g["doc_b"].to_numpy() < 0
-        # Python sets: C-level intersection at ~2us/pair beats a numpy
-        # intersect1d call (~30us of per-call overhead) for the ~100-element
-        # hash sets of typical docs — the verify loop is pair-count-bound
-        sets = {int(d): frozenset(np.frombuffer(h, dtype="<u8").tolist())
-                for d, h in zip(g["doc_a"].to_numpy()[sig_mask],
-                                g["hashes"].to_numpy()[sig_mask])}
         pr_a = g["doc_a"].to_numpy()[~sig_mask]
         pr_b = g["doc_b"].to_numpy()[~sig_mask]
         if len(pr_a) == 0:
             return _empty_pairs("jaccard")
-        jac = np.empty(len(pr_a), dtype=np.float64)
-        for i in range(len(pr_a)):
-            sa = sets[int(pr_a[i])]
-            sb = sets[int(pr_b[i])]
+        # INTERN identical payloads: near-dup-heavy corpora carry many
+        # docs with byte-identical shingle-hash sets (exact dup clusters),
+        # and the candidate bulk is pairs WITHIN those clusters — each
+        # distinct (set, set) combination needs only ONE intersection.
+        # Measured at sf0.1 (2.96M candidate pairs, 46%-dup mega cluster):
+        # the per-pair Python set-intersection loop was ~10s of remote CPU;
+        # interning + per-unique-pair evaluation collapses it to the
+        # distinct-pair count. Python frozensets still do the C-level
+        # intersection (~2us for ~100-element sets; numpy intersect1d's
+        # ~30us/call overhead loses at these set sizes).
+        docs = g["doc_a"].to_numpy()[sig_mask]
+        sid_of: dict = {}
+        sets: list = []
+        sid_arr = np.empty(len(docs), dtype=np.int64)
+        for i, h in enumerate(g["hashes"].to_numpy()[sig_mask]):
+            s = sid_of.get(h)
+            if s is None:
+                s = sid_of[h] = len(sets)
+                sets.append(frozenset(np.frombuffer(h, dtype="<u8").tolist()))
+            sid_arr[i] = s
+        order = np.argsort(docs, kind="stable")
+        sdocs, sids = docs[order], sid_arr[order]
+        pos_a = np.searchsorted(sdocs, pr_a)
+        pos_b = np.searchsorted(sdocs, pr_b)
+        if (pos_a >= len(sdocs)).any() or (pos_b >= len(sdocs)).any() or \
+                not (np.array_equal(sdocs[pos_a], pr_a)
+                     and np.array_equal(sdocs[pos_b], pr_b)):
+            raise KeyError("verify_group: candidate pair references a doc "
+                           "with no signature row in its bucket")
+        ia, ib = sids[pos_a], sids[pos_b]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        # len(sets) is the per-bucket distinct-payload count (bounded by
+        # bucket rows), so the packed key never overflows int64
+        uniq, inv = np.unique(lo * np.int64(len(sets)) + hi,
+                              return_inverse=True)
+        vals = np.empty(len(uniq), dtype=np.float64)
+        n_sets = len(sets)
+        for j, k in enumerate(uniq.tolist()):
+            sa = sets[k // n_sets]
+            sb = sets[k % n_sets]
             inter = len(sa & sb)
-            jac[i] = inter / (len(sa) + len(sb) - inter)
+            vals[j] = inter / (len(sa) + len(sb) - inter)
+        jac = vals[inv]
         keep = jac >= threshold
         return pd.DataFrame({"doc_a": pr_a[keep].astype("int64"),
                              "doc_b": pr_b[keep].astype("int64"),
