@@ -307,6 +307,11 @@ def connected_components(edges, *, max_rounds: int = 64) -> pd.DataFrame:
     """
     from .vertexstate import ShardedGraph
 
+    # materialize before the schema probe: on a lazy post-shuffle edge
+    # lineage, schema() re-executes the upstream as a limit=1 plan (a
+    # limit cannot prune through an all-to-all), and the graph build
+    # consumes the full stream right after anyway
+    edges = edges.materialize()
     if edges.schema() is None:  # zero-row pair stream: nothing to label
         return pd.DataFrame({"vertex": pd.Series([], dtype="int64"),
                              "component": pd.Series([], dtype="int64")})
@@ -332,7 +337,11 @@ def connected_components_ds(edges, *, max_rounds: int = 64,
     # near-dups at small scale); an empty Dataset has no schema, so
     # short-circuit here — building a graph over it would fail loudly.
     # Ids type as int64 (unknowable from a schema-less stream; every
-    # in-repo consumer casts through int64 anyway).
+    # in-repo consumer casts through int64 anyway). Materialized first:
+    # schema() on a lazy post-shuffle lineage re-executes it as a
+    # limit=1 plan (measured 1.4s on the sf0.1 star-edge stream), and
+    # the graph build consumes the full stream right after.
+    edges = edges.materialize()
     if edges.schema() is None:
         empty = ray.data.from_arrow(pa.table(
             {"vertex": pa.array([], pa.int64()),

@@ -482,7 +482,15 @@ def drop_empty_blocks(ds, schema: "pa.Schema | None" = None):
     import ray
     import ray.data as rd
 
-    refs = ds.to_arrow_refs()
+    # materialize FIRST: ``to_arrow_refs`` internally calls
+    # ``self.schema(fetch_if_missing=True)`` AFTER consuming the ref
+    # bundles, and on a lazy post-shuffle lineage that schema probe
+    # re-executes the whole upstream as a limit=1 plan (a limit cannot
+    # prune through an all-to-all barrier — measured 1.9s of redundant
+    # join+sort per scrub at sf0.1). A materialized dataset answers
+    # schema() from block metadata.
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
 
     @ray.remote(num_cpus=0)
     def _nrows(t: pa.Table) -> int:
@@ -494,4 +502,4 @@ def drop_empty_blocks(ds, schema: "pa.Schema | None" = None):
         return rd.from_arrow_refs(keep)
     if schema is not None:
         return rd.from_arrow(schema.empty_table())
-    return ds
+    return mat

@@ -621,6 +621,11 @@ class ShardedGraph:
 
         self.k = k
 
+        # materialize before the schema probe: on a lazy post-shuffle
+        # lineage schema() re-executes the upstream as a limit=1 plan,
+        # and split_by_partition consumes the full stream right after
+        edges = edges.materialize()
+
         # src and dst must share ONE id type: integer columns key as
         # themselves, anything else keys via SipHash — a mixed graph
         # would key the same vertex differently per column (and lose
