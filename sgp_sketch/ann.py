@@ -345,7 +345,9 @@ def cosine_neardup_pairs(ds, threshold: float = 0.95,
     n_target = max(1, -(-int(n) // target_block_rows))
     normed = normed.repartition(n_target)
     # materialize ONCE into object-store blocks; only refs reach the driver
-    block_refs = normed.to_arrow_refs()
+    # (explicit .materialize(): to_arrow_refs' internal schema probe would
+    # otherwise re-run read+prep+repartition as a limit=1 plan)
+    block_refs = normed.materialize().to_arrow_refs()
     n_blocks = len(block_refs)
     refs_handle = ray.put(block_refs)
 

@@ -214,6 +214,9 @@ def partition_graph_stream(adj_ds, k: int, algorithm: str = "ldg", *,
     rd.DataContext.get_current().execution_options.preserve_order = True
 
     if total_vertices is None:
+        # pin first: count() would execute the (possibly groupby-built)
+        # adjacency lineage once and the iter_batches stream below again
+        adj_ds = adj_ds.materialize()
         total_vertices = adj_ds.count()
     sp = StreamingPartitioner(
         k, algorithm, total_load=float(total_vertices),
