@@ -102,6 +102,115 @@ def label_edges(edges, pmap: pd.DataFrame, k: int):
         annotate, batch_format="pyarrow").materialize()
 
 
+def label_edges_multi(edges, pmaps: "dict[str, pd.DataFrame]", k: int):
+    """One annotate pass attaching ``p_src_<alg>`` / ``p_dst_<alg>`` for
+    EVERY partition map at once (each map broadcasts as two ray.put numpy
+    arrays; the attach is sorted-hash searchsorted per map). Materialized
+    so the sweep's consumers — the shared 2-hop join and the per-algorithm
+    pruned-BFS edge-row counts — read one labeled edge set instead of one
+    per algorithm."""
+    import ray
+
+    refs = {alg: tuple(ray.put(a) for a in partition_lookup(pm))
+            for alg, pm in pmaps.items()}
+
+    def annotate(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        cols = {"src": t["src"], "dst": t["dst"]}
+        for alg, (href, pref) in refs.items():
+            hs, ps = ray.get(href), ray.get(pref)
+            cols[f"p_src_{alg}"] = pa.array(
+                lookup_partitions(src, hs, ps, k), pa.int64())
+            cols[f"p_dst_{alg}"] = pa.array(
+                lookup_partitions(dst, hs, ps, k), pa.int64())
+        return pa.table(cols)
+
+    return edges.select_columns(["src", "dst"]).map_batches(
+        annotate, batch_format="pyarrow").materialize()
+
+
+def two_hop_cross_partition_multi(labeled_multi, algs, *, k: int,
+                                  num_partitions: int | None = None) -> dict:
+    """Per-algorithm 2-hop crossing metrics from ONE edges×edges join.
+
+    The join topology (src -> mid -> far on the shared ``mid`` key) is
+    identical for every partition map — only the labels differ — so the
+    per-algorithm joins the sweep used to run (its dominant cost: ~1.8s
+    × algorithms at sf0.1) collapse to one join where each algorithm's
+    labels ride as extra int64 columns and one per-batch partial emits
+    every algorithm's sums. Returns {alg: two_hop_cross_partition-dict},
+    equal to running the single-map function per algorithm (pytest-
+    checked)."""
+    if num_partitions is None:
+        num_partitions = join_partitions()
+    algs = list(algs)
+
+    def _e1(t: pa.Table) -> pa.Table:
+        sel = ["src", "dst"] + [f"p_src_{a}" for a in algs] \
+            + [f"p_dst_{a}" for a in algs]
+        new = ["src", "mid"] + [f"ps_{a}" for a in algs] \
+            + [f"pm_{a}" for a in algs]
+        return t.select(sel).rename_columns(new)
+
+    def _e2(t: pa.Table) -> pa.Table:
+        sel = ["src", "dst"] + [f"p_dst_{a}" for a in algs]
+        new = ["mid2", "far"] + [f"pf_{a}" for a in algs]
+        return t.select(sel).rename_columns(new)
+
+    e1 = labeled_multi.map_batches(_e1, batch_format="pyarrow")
+    e2 = labeled_multi.map_batches(_e2, batch_format="pyarrow")
+    paths = e1.join(e2, join_type="inner", num_partitions=num_partitions,
+                    on=("mid",), right_on=("mid2",))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        row = {}
+        for a in algs:
+            ps = batch[f"ps_{a}"].to_numpy()
+            pm_ = batch[f"pm_{a}"].to_numpy()
+            pf = batch[f"pf_{a}"].to_numpy()
+            m = (ps != k) & (pm_ != k) & (pf != k)
+            row[f"n_paths_{a}"] = [int(m.sum())]
+            row[f"cross_{a}"] = [int((ps[m] != pm_[m]).sum()
+                                     + (pm_[m] != pf[m]).sum())]
+        return pd.DataFrame(row)
+
+    cols = [f"n_paths_{a}" for a in algs] + [f"cross_{a}" for a in algs]
+    sums = paths.map_batches(partial, batch_format="pandas").sum(cols)
+    out = {}
+    for a in algs:
+        n = int((sums or {}).get(f"sum(n_paths_{a})") or 0)
+        c = int((sums or {}).get(f"sum(cross_{a})") or 0)
+        out[a] = {"n_paths": n, "hop_crossings": c,
+                  "crossing_fraction": c / (2 * n) if n else 0.0}
+    return out
+
+
+def partition_edge_rows_multi(labeled_multi, algs, k: int) -> dict:
+    """Per-algorithm per-partition edge-row counts (the pruned-BFS scan
+    denominator) from ONE fold over the multi-labeled edge set. Returns
+    {alg: int64 array of length k+1} (index k = the overflow bucket)."""
+    algs = list(algs)
+    counts = {a: np.zeros(k + 1, dtype=np.int64) for a in algs}
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        cols = {"p": np.arange(k + 1, dtype=np.int64)}
+        for a in algs:
+            cols[a] = np.bincount(
+                t[f"p_src_{a}"].to_numpy(zero_copy_only=False),
+                minlength=k + 1).astype(np.int64)
+        return pa.table(cols)
+
+    sel = [f"p_src_{a}" for a in algs]
+    for b in labeled_multi.select_columns(sel) \
+            .map_batches(_cnt, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        p = b["p"].to_numpy()
+        for a in algs:
+            np.add.at(counts[a], p, b[a].to_numpy())
+    return counts
+
+
 def two_hop_cross_partition(edges, pmap: pd.DataFrame, *,
                             num_partitions: int | None = None,
                             labeled=None, k: int | None = None) -> dict:
@@ -355,7 +464,9 @@ def bfs_partition_pruned(edges, pmap: pd.DataFrame, source, *,
                          max_depth: int = 10, labeled=None,
                          k: int | None = None,
                          dist: pd.DataFrame | None = None,
-                         graph=None) -> tuple[pd.DataFrame, float]:
+                         graph=None,
+                         part_rows: np.ndarray | None = None,
+                         ) -> tuple[pd.DataFrame, float]:
     """Partition-pruned BFS: distances come from the SHARDED frontier
     rounds (``bfs_layers`` — round-4 verdict ask #2: no driver visited
     dict, no per-round edge rescans), and the pruning metric — the
@@ -380,24 +491,27 @@ def bfs_partition_pruned(edges, pmap: pd.DataFrame, source, *,
     """
     if k is None:
         k = int(pmap["partition"].max()) + 1 if len(pmap) else 1
-    if labeled is None:
-        labeled = label_edges(edges, pmap, k)
     if dist is None:
         dist = bfs_layers(edges, source, max_depth=max_depth, graph=graph)
 
-    # per-partition edge-row counts: one vectorized count fold over the
-    # labeled set (no sort, no split — only the counts matter here)
-    part_rows = np.zeros(k + 1, dtype=np.int64)
+    if part_rows is None:
+        # per-partition edge-row counts: one vectorized count fold over
+        # the labeled set (no sort, no split — only the counts matter).
+        # Callers with several maps precompute these in one pass via
+        # ``partition_edge_rows_multi`` and pass ``part_rows=`` instead.
+        if labeled is None:
+            labeled = label_edges(edges, pmap, k)
+        part_rows = np.zeros(k + 1, dtype=np.int64)
 
-    def _cnt(t: pa.Table) -> pa.Table:
-        c = np.bincount(t["p_src"].to_numpy(zero_copy_only=False),
-                        minlength=k + 1).astype(np.int64)
-        return pa.table({"p": np.arange(k + 1, dtype=np.int64), "n": c})
+        def _cnt(t: pa.Table) -> pa.Table:
+            c = np.bincount(t["p_src"].to_numpy(zero_copy_only=False),
+                            minlength=k + 1).astype(np.int64)
+            return pa.table({"p": np.arange(k + 1, dtype=np.int64), "n": c})
 
-    for b in labeled.select_columns(["p_src"]) \
-            .map_batches(_cnt, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
-        np.add.at(part_rows, b["p"].to_numpy(), b["n"].to_numpy())
+        for b in labeled.select_columns(["p_src"]) \
+                .map_batches(_cnt, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            np.add.at(part_rows, b["p"].to_numpy(), b["n"].to_numpy())
     total_rows = int(part_rows.sum())
 
     # exact scan accounting from the layers: round d (1-based) scans the

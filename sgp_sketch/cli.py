@@ -253,7 +253,8 @@ def _graph_workload_sweep(cfg, algorithms, partitions, workloads) -> list:
     import time as _time
 
     from .analytics import bfs_layers, bfs_partition_pruned, \
-        two_hop_cross_partition
+        label_edges_multi, partition_edge_rows_multi, \
+        two_hop_cross_partition_multi
     from .queries import _event_graph_edges
     from .sources import partition_graph_stream, snap_to_adjacency
     from .vertexstate import ShardedGraph
@@ -285,32 +286,47 @@ def _graph_workload_sweep(cfg, algorithms, partitions, workloads) -> list:
     bfs_dist = bfs_layers(edges, "u0", max_depth=6, graph=g) \
         if "bfs_pruned" in workloads else None
 
-    results = []
-    for algo, k in itertools.product(algorithms, partitions):
-        pm, met = partition_graph_stream(adj, k=k, algorithm=algo)
-        rec = {
-            "algorithm": algo,
-            "k": k,
-            "edge_cut_ratio": round(met["edge_cut_ratio"], 6),
-            "imbalance": round(met["imbalance"], 6),
-            "workloads": {},
-        }
-        th = two_hop_cross_partition(edges, pm)
-        rec["crossing_fraction"] = round(th["crossing_fraction"], 6)
-        for wl in workloads:
-            if wl == "bfs_pruned":
-                t0 = _time.perf_counter()
-                dist, frac = bfs_partition_pruned(edges, pm, "u0",
-                                                  max_depth=6,
-                                                  dist=bfs_dist)
-                rec["workloads"][wl] = {
-                    "wall_sec": round(_time.perf_counter() - t0, 3),
-                    "n_rows": len(dist),
-                    "scan_fraction": round(frac, 6)}
-            else:
-                rec["workloads"][wl] = dict(invariant[wl])
-        results.append(rec)
-    return results
+    # cells sharing a k also share ONE multi-labeled edge set, ONE
+    # 2-hop join and ONE per-partition row-count fold (the same
+    # redundancy collapse queries.partition_workload_sweep carries) —
+    # the per-algorithm 2-hop joins were the sweep's dominant cost
+    by_cell: dict[tuple, dict] = {}
+    for k in partitions:
+        pms, mets = {}, {}
+        for algo in algorithms:
+            pms[algo], mets[algo] = partition_graph_stream(
+                adj, k=k, algorithm=algo)
+        labm = label_edges_multi(edges, pms, k)
+        th_all = two_hop_cross_partition_multi(labm, algorithms, k=k)
+        prow = partition_edge_rows_multi(labm, algorithms, k) \
+            if "bfs_pruned" in workloads else None
+        for algo in algorithms:
+            met = mets[algo]
+            rec = {
+                "algorithm": algo,
+                "k": k,
+                "edge_cut_ratio": round(met["edge_cut_ratio"], 6),
+                "imbalance": round(met["imbalance"], 6),
+                "workloads": {},
+            }
+            rec["crossing_fraction"] = round(
+                th_all[algo]["crossing_fraction"], 6)
+            for wl in workloads:
+                if wl == "bfs_pruned":
+                    t0 = _time.perf_counter()
+                    dist, frac = bfs_partition_pruned(
+                        edges, pms[algo], "u0", max_depth=6, k=k,
+                        dist=bfs_dist, part_rows=prow[algo])
+                    rec["workloads"][wl] = {
+                        "wall_sec": round(_time.perf_counter() - t0, 3),
+                        "n_rows": len(dist),
+                        "scan_fraction": round(frac, 6)}
+                else:
+                    rec["workloads"][wl] = dict(invariant[wl])
+            by_cell[(algo, k)] = rec
+    # emit in the original algorithm-major cross-product order
+    return [by_cell[(algo, k)]
+            for algo, k in itertools.product(algorithms, partitions)]
 
 
 def cmd_experiment(args) -> int:

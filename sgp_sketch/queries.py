@@ -2695,12 +2695,16 @@ def partition_workload_sweep(sf_dir: str):
     construction — their row in the table is the workload-completeness
     evidence).
 
-    Shared work (VERDICT r03 ask #4): the three invariant workloads run
-    over ONE ShardedGraph build, and per algorithm the edges are labeled
-    with their partition ids ONCE (``label_edges``) and shared between
-    the 2-hop join and the pruned BFS."""
-    from .analytics import (bfs_partition_pruned, label_edges,
-                            two_hop_cross_partition)
+    Shared work (VERDICT r03 ask #4, extended round 5): the three
+    invariant workloads run over ONE ShardedGraph build; ALL algorithms'
+    partition labels attach in ONE edge pass (``label_edges_multi``),
+    every algorithm's 2-hop metric comes out of ONE edges×edges join
+    (``two_hop_cross_partition_multi`` — the per-algorithm joins were
+    the sweep's dominant cost), and the pruned-BFS per-partition scan
+    denominators fold once (``partition_edge_rows_multi``)."""
+    from .analytics import (bfs_partition_pruned, label_edges_multi,
+                            partition_edge_rows_multi,
+                            two_hop_cross_partition_multi)
     from .partition import offline_multilevel_partition
     from .sources import partition_graph_stream, snap_to_adjacency
     from .vertexstate import ShardedGraph
@@ -2729,23 +2733,31 @@ def partition_workload_sweep(sf_dir: str):
         ("connectedcomponents", "n_components",
          int(cc["component"].nunique())),
     ]
-    rows = []
-    for alg in ("hash", "ldg", "fennel", "offline"):
+    algs = ("hash", "ldg", "fennel", "offline")
+    pms, mets = {}, {}
+    for alg in algs:
         if alg == "offline":
-            pm, met = offline_multilevel_partition(adj.to_pandas(), 8)
+            pms[alg], mets[alg] = offline_multilevel_partition(
+                adj.to_pandas(), 8)
         else:
-            pm, met = partition_graph_stream(adj, k=8, algorithm=alg)
+            pms[alg], mets[alg] = partition_graph_stream(
+                adj, k=8, algorithm=alg)
+    labm = label_edges_multi(edges, pms, 8)
+    th_all = two_hop_cross_partition_multi(labm, algs, k=8)
+    part_rows = partition_edge_rows_multi(labm, algs, 8)
+    rows = []
+    for alg in algs:
+        met, th = mets[alg], th_all[alg]
         rows.append((alg, "partition", "edge_cut_e6",
                      int(round(met["edge_cut_ratio"] * 1_000_000))))
         rows.append((alg, "partition", "imbalance_e6",
                      int(round(met["imbalance"] * 1_000_000))))
-        lab = label_edges(edges, pm, 8)
-        th = two_hop_cross_partition(edges, pm, labeled=lab, k=8)
         rows.append((alg, "two_hop", "crossing_e6",
                      int(round(th["crossing_fraction"] * 1_000_000))))
         rows.append((alg, "two_hop", "n_paths", int(th["n_paths"])))
-        dist, frac = bfs_partition_pruned(edges, pm, "u0", max_depth=6,
-                                          labeled=lab, k=8, dist=bfs_dist)
+        dist, frac = bfs_partition_pruned(
+            edges, pms[alg], "u0", max_depth=6, k=8, dist=bfs_dist,
+            part_rows=part_rows[alg])
         rows.append((alg, "bfs_pruned", "scan_fraction_e6",
                      int(round(frac * 1_000_000))))
         rows.append((alg, "bfs_pruned", "n_reached", len(dist)))

@@ -56,6 +56,32 @@ class TestTwoHop:
         assert (results["fennel"]["hop_crossings"]
                 < 0.6 * results["hash"]["hop_crossings"])
 
+    def test_multi_map_matches_single(self, edges_ds):
+        """two_hop_cross_partition_multi (one shared join serving every
+        algorithm) must equal the per-map function, and the one-pass
+        per-partition edge-row counts must equal label_edges bincounts."""
+        import numpy as np
+
+        from sgp_sketch.analytics import (label_edges, label_edges_multi,
+                                          partition_edge_rows_multi,
+                                          two_hop_cross_partition_multi)
+
+        und = undirect_edges(edges_ds)
+        adj = snap_to_adjacency(und)
+        pms = {alg: partition_graph_stream(adj, k=4, algorithm=alg)[0]
+               for alg in ("hash", "ldg", "fennel")}
+        labm = label_edges_multi(und, pms, 4)
+        multi = two_hop_cross_partition_multi(labm, pms, k=4)
+        rows = partition_edge_rows_multi(labm, pms, 4)
+        for alg, pm in pms.items():
+            single = two_hop_cross_partition(und, pm, k=4)
+            assert multi[alg] == single
+            lab = label_edges(und, pm, 4)
+            cnt = np.zeros(5, dtype=np.int64)
+            for b in lab.iter_batches(batch_format="pandas"):
+                cnt += np.bincount(b["p_src"].to_numpy(), minlength=5)
+            assert np.array_equal(rows[alg], cnt)
+
     def test_counts_exact_on_tiny_graph(self):
         import ray.data as rd
 
