@@ -114,6 +114,11 @@ def label_edges_multi(edges, pmaps: "dict[str, pd.DataFrame]", k: int):
     refs = {alg: tuple(ray.put(a) for a in partition_lookup(pm))
             for alg, pm in pmaps.items()}
 
+    # labels fit int8 for any realistic sweep k (values span [0, k] with
+    # k the overflow id) — an 8x narrower payload through the shared
+    # 2-hop join on this bandwidth-bound host
+    ptype = pa.int8() if k < 127 else pa.int64()
+
     def annotate(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
         dst = t["dst"].to_numpy(zero_copy_only=False)
@@ -121,9 +126,9 @@ def label_edges_multi(edges, pmaps: "dict[str, pd.DataFrame]", k: int):
         for alg, (href, pref) in refs.items():
             hs, ps = ray.get(href), ray.get(pref)
             cols[f"p_src_{alg}"] = pa.array(
-                lookup_partitions(src, hs, ps, k), pa.int64())
+                lookup_partitions(src, hs, ps, k), pa.int64()).cast(ptype)
             cols[f"p_dst_{alg}"] = pa.array(
-                lookup_partitions(dst, hs, ps, k), pa.int64())
+                lookup_partitions(dst, hs, ps, k), pa.int64()).cast(ptype)
         return pa.table(cols)
 
     return edges.select_columns(["src", "dst"]).map_batches(
