@@ -147,7 +147,9 @@ def main(argv=None) -> int:
     pl = sub.add_parser("plots",
                         help="gnuplot bundle from experiment results "
                              "(gnuplot_generator.py analogue)")
-    pl.add_argument("results", help="JSON file written by `experiment`")
+    pl.add_argument("results",
+                    help="JSON written by `experiment` (record list) or "
+                         "`bench.py --concurrent` (dict with 'levels')")
     pl.add_argument("outdir", help="directory for the .dat/.gnu bundle")
     pl.set_defaults(fn=cmd_plots)
 
@@ -178,15 +180,26 @@ def main(argv=None) -> int:
 
 
 def cmd_plots(args) -> int:
-    """Generate the gnuplot .dat/.gnu bundle (edge-cut histogram, 2-hop
-    crossing chart, per-workload time lines) from an ``experiment``
-    result JSON. Pure text generation — no Ray session, no plotting
-    libraries; render with stock ``gnuplot <name>.gnu``."""
-    from .plots import experiment_plot_bundle
+    """Generate the gnuplot .dat/.gnu bundle from a result JSON: an
+    ``experiment`` record list yields the edge-cut histogram, 2-hop
+    crossing chart and per-workload time lines; a ``bench.py
+    --concurrent`` dict (its ``levels`` list) yields the qps histogram
+    and per-shard load percentile chart. Pure text generation — no Ray
+    session, no plotting libraries; render with stock
+    ``gnuplot <name>.gnu``."""
+    from .plots import concurrent_plot_bundle, experiment_plot_bundle
 
     with open(args.results) as f:
         records = json.load(f)
-    written = experiment_plot_bundle(records, args.outdir)
+    if isinstance(records, dict):
+        if "levels" not in records:
+            print(json.dumps({"error": "dict input has no 'levels' key "
+                              "(expected bench.py --concurrent output)"}),
+                  file=_OUT)
+            return 2
+        written = concurrent_plot_bundle(records["levels"], args.outdir)
+    else:
+        written = experiment_plot_bundle(records, args.outdir)
     print(json.dumps({"written": written}), file=_OUT)
     return 0
 

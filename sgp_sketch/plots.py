@@ -190,6 +190,57 @@ def write_plot_bundle(outdir: str, name: str, dat: str, gnu: str
     return {"dat": dat_path, "gnu": gnu_path}
 
 
+def qps_plot(levels: list[dict], name: str = "qps"
+             ) -> tuple[str, str]:
+    """Clustered throughput histogram: qps per client level, one cluster
+    per algorithm (tput-bar.gnu analogue — the reference plots queries/s
+    per configuration as clustered bars)."""
+    algs: list[str] = []
+    for lv in levels:
+        if lv["algorithm"] not in algs:
+            algs.append(lv["algorithm"])
+    n_clients = sorted({int(lv["n_clients"]) for lv in levels})
+    cell = {(lv["algorithm"], int(lv["n_clients"])): lv for lv in levels}
+    rows = []
+    for a in algs:
+        row: dict = {"algorithm": a}
+        for nc in n_clients:
+            lv = cell.get((a, nc))
+            row[f"{nc}c"] = lv["qps"] if lv is not None else None
+        rows.append(row)
+    cols = [f"{nc}c" for nc in n_clients]
+    dat = dat_block(rows, ["algorithm"] + cols)
+    plot = ", ".join(
+        f"'{name}.dat' using {i + 2}:xtic(1) title '{c}'"
+        for i, c in enumerate(cols))
+    gnu = (_TERMINAL
+           + f"set output '{name}.png'\n"
+           "set style data histograms\n"
+           "set style histogram clustered gap 1\n"
+           "set style fill solid border -1\n"
+           "set boxwidth 0.9\n"
+           "set grid ytics\n"
+           "set ylabel 'throughput (queries / second)'\n"
+           "set yrange [0:*]\n"
+           "set key top left\n"
+           f"plot {plot}\n")
+    return dat, gnu
+
+
+def concurrent_plot_bundle(levels: list[dict], outdir: str) -> list[str]:
+    """Plot bundle for ``bench.py --concurrent`` output (the ``levels``
+    list from ``serving.concurrent_query_bench``): the qps clustered
+    histogram (tput-bar.gnu analogue) + the per-shard load percentile
+    chart (li-percentile.gnu analogue)."""
+    written = []
+    for name, (dat, gnu) in [("qps", qps_plot(levels, "qps")),
+                             ("load-percentiles",
+                              load_percentile_plot(levels))]:
+        p = write_plot_bundle(outdir, name, dat, gnu)
+        written.extend([p["dat"], p["gnu"]])
+    return written
+
+
 def experiment_plot_bundle(records: list[dict], outdir: str) -> list[str]:
     """The gnuplot_generator.py analogue: every applicable plot kind from
     one ``cli experiment`` result list. Returns the written paths."""

@@ -87,3 +87,55 @@ def test_cli_plots_writes_bundle(tmp_path):
         if p.endswith(".gnu"):
             base = os.path.basename(p)[:-4]
             assert f"'{base}.dat'" in open(p).read()
+
+LEVELS = [
+    {"algorithm": "hash", "n_clients": 12, "qps": 510.0,
+     "request_percentiles": [10, 20, 30, 40, 50]},
+    {"algorithm": "hash", "n_clients": 24, "qps": 540.0,
+     "request_percentiles": [12, 22, 32, 42, 52]},
+    {"algorithm": "fennel", "n_clients": 12, "qps": 505.0,
+     "request_percentiles": [20, 25, 30, 35, 40]},
+    {"algorithm": "fennel", "n_clients": 24, "qps": 538.0,
+     "request_percentiles": [22, 27, 32, 37, 42]},
+]
+
+
+def test_qps_plot_pivots_level_per_column():
+    from sgp_sketch.plots import qps_plot
+
+    dat, gnu = qps_plot(LEVELS, "qps")
+    lines = [ln for ln in dat.splitlines() if not ln.startswith("#")]
+    assert len(lines) == 2  # one cluster per algorithm
+    assert lines[0].split("\t") == ["hash", "510.0", "540.0"]
+    assert lines[1].split("\t") == ["fennel", "505.0", "538.0"]
+    assert "'qps.dat' using 2:xtic(1) title '12c'" in gnu
+    assert "using 3:xtic(1) title '24c'" in gnu
+    # a missing (algorithm, level) cell renders as the '?' sentinel
+    dat3, _ = qps_plot(LEVELS[:3], "qps")
+    rows = [ln for ln in dat3.splitlines() if not ln.startswith("#")]
+    assert rows[1].split("\t") == ["fennel", "505.0", "?"]
+
+
+def test_cli_plots_dispatches_concurrent_dict(tmp_path):
+    results = tmp_path / "conc.json"
+    results.write_text(json.dumps(
+        {"metric": "concurrent_query_qps", "levels": LEVELS}))
+    outdir = tmp_path / "plots"
+    proc = subprocess.run(
+        [sys.executable, "-m", "sgp_sketch.cli", "plots",
+         str(results), str(outdir)],
+        capture_output=True, text=True, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    names = sorted(os.path.basename(p) for p in out["written"])
+    assert names == ["load-percentiles.dat", "load-percentiles.gnu",
+                     "qps.dat", "qps.gnu"]
+    # dict input without 'levels' fails loudly, not with a stack trace
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"metric": "x"}))
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "sgp_sketch.cli", "plots",
+         str(bad), str(outdir)],
+        capture_output=True, text=True, cwd=REPO)
+    assert proc2.returncode == 2
+    assert "levels" in proc2.stdout
