@@ -191,15 +191,17 @@ def cmd_plots(args) -> int:
 
     with open(args.results) as f:
         records = json.load(f)
-    if isinstance(records, dict):
-        if "levels" not in records:
-            print(json.dumps({"error": "dict input has no 'levels' key "
-                              "(expected bench.py --concurrent output)"}),
-                  file=_OUT)
-            return 2
-        written = concurrent_plot_bundle(records["levels"], args.outdir)
-    else:
-        written = experiment_plot_bundle(records, args.outdir)
+    try:
+        if isinstance(records, dict):
+            if "levels" not in records:
+                raise ValueError("dict input has no 'levels' key "
+                                 "(expected bench.py --concurrent output)")
+            written = concurrent_plot_bundle(records["levels"], args.outdir)
+        else:
+            written = experiment_plot_bundle(records, args.outdir)
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}), file=_OUT)
+        return 2
     print(json.dumps({"written": written}), file=_OUT)
     return 0
 

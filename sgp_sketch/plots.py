@@ -232,6 +232,8 @@ def concurrent_plot_bundle(levels: list[dict], outdir: str) -> list[str]:
     list from ``serving.concurrent_query_bench``): the qps clustered
     histogram (tput-bar.gnu analogue) + the per-shard load percentile
     chart (li-percentile.gnu analogue)."""
+    if not levels:
+        raise ValueError("no concurrent-bench levels to plot")
     written = []
     for name, (dat, gnu) in [("qps", qps_plot(levels, "qps")),
                              ("load-percentiles",
@@ -244,6 +246,10 @@ def concurrent_plot_bundle(levels: list[dict], outdir: str) -> list[str]:
 def experiment_plot_bundle(records: list[dict], outdir: str) -> list[str]:
     """The gnuplot_generator.py analogue: every applicable plot kind from
     one ``cli experiment`` result list. Returns the written paths."""
+    if not records:
+        # an empty list would render scripts with a bare `plot ` line —
+        # invalid gnuplot; fail loudly instead of writing a broken bundle
+        raise ValueError("no experiment records to plot")
     written = []
     pairs = [edge_cut_plot(records, "edge-cut")]
     names = ["edge-cut"]

@@ -139,3 +139,25 @@ def test_cli_plots_dispatches_concurrent_dict(tmp_path):
         capture_output=True, text=True, cwd=REPO)
     assert proc2.returncode == 2
     assert "levels" in proc2.stdout
+
+
+def test_empty_inputs_fail_loudly(tmp_path):
+    import pytest
+
+    from sgp_sketch.plots import concurrent_plot_bundle, \
+        experiment_plot_bundle
+
+    with pytest.raises(ValueError):
+        experiment_plot_bundle([], str(tmp_path))
+    with pytest.raises(ValueError):
+        concurrent_plot_bundle([], str(tmp_path))
+    assert list(tmp_path.iterdir()) == []  # no broken bundle written
+
+    results = tmp_path / "empty.json"
+    results.write_text("[]")
+    proc = subprocess.run(
+        [sys.executable, "-m", "sgp_sketch.cli", "plots",
+         str(results), str(tmp_path / "plots")],
+        capture_output=True, text=True, cwd=REPO)
+    assert proc.returncode == 2
+    assert "no experiment records" in proc.stdout
