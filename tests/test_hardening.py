@@ -335,3 +335,45 @@ def test_drop_empty_blocks_types_fully_empty_side():
     out = drop_empty_blocks(none, schema=sch)
     assert out.schema().names == ["k", "count()"]
     assert out.count() == 0
+
+
+def test_partition_plans_query_invariants(sf_small):
+    """Query-level invariants for the rows-only partition_plans entry
+    (its components are unit-tested; this pins the wrapper's contract):
+    one row per (algorithm, source), in-range partitions, identical
+    source universe and total load under every algorithm, and
+    deterministic output across calls."""
+    from sgp_sketch.queries import partition_plans
+
+    df = partition_plans(sf_small)
+    assert list(df.columns) == ["algorithm", "source", "partition_id",
+                                "load"]
+    assert set(df["algorithm"]) == {"hash", "ldg", "fennel"}
+    assert df["partition_id"].between(0, 7).all()
+    assert (df["load"] > 0).all()
+    per_alg = {a: g for a, g in df.groupby("algorithm")}
+    sources = {a: set(g["source"]) for a, g in per_alg.items()}
+    assert len(sources["hash"]) == len(per_alg["hash"])  # unique per alg
+    assert sources["hash"] == sources["ldg"] == sources["fennel"]
+    loads = {a: g["load"].sum() for a, g in per_alg.items()}
+    assert loads["hash"] == loads["ldg"] == loads["fennel"]
+    again = partition_plans(sf_small)
+    assert again.equals(df)
+
+
+def test_hdrf_query_invariants(sf_small):
+    """Query-level invariants for the rows-only hdrf_user_event_graph
+    entry: one output row per event (ids exactly the events table's),
+    in-range partitions, deterministic replay of the ordered stream."""
+    import pyarrow.parquet as pq
+
+    from sgp_sketch.queries import hdrf_user_event_graph
+
+    df = hdrf_user_event_graph(sf_small)
+    events = pq.read_table(f"{sf_small}/events.parquet",
+                           columns=["event_id"])
+    assert len(df) == events.num_rows
+    assert np.array_equal(np.sort(df["event_id"].to_numpy()),
+                          np.sort(events["event_id"].to_numpy()))
+    assert df["partition_id"].between(0, 7).all()
+    assert hdrf_user_event_graph(sf_small).equals(df)
