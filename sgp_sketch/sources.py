@@ -396,3 +396,58 @@ def undirect_edges(edges):
         return pa.concat_tables([fwd, bwd])
 
     return edges.map_batches(rev, batch_format="pyarrow")
+
+
+DOCUMENTS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+    ("source", pa.string()), ("n_chars", pa.int64()),
+])
+
+
+def read_documents_jsonl(path: str):
+    """JSONL corpus -> Dataset in the canonical ``documents`` shape
+    (``DOCUMENTS_SCHEMA`` — the driver's documents.parquet layout), so a
+    JSONL-shipped corpus feeds every document pipeline (tokenize, dedup,
+    text analysis) unchanged.
+
+    The common interchange format for web-scale text corpora is one JSON
+    object per line; ``ray.data.read_json`` streams it per block (and
+    auto-detects ``.gz`` by extension — pinned by test). Required fields:
+    ``doc_id`` (integer), ``text``, ``source`` (strings). Optional:
+    ``lang`` (null when absent), ``n_chars`` (derived from ``text`` when
+    absent — vectorized, no Python loop). Unknown extra fields are
+    dropped; a missing required field fails loudly at read time with the
+    field name.
+    """
+    import ray.data as rd
+
+    ds = rd.read_json(path)
+
+    def conform(batch: pa.Table) -> pa.Table:
+        names = set(batch.schema.names)
+        missing = {"doc_id", "text", "source"} - names
+        if missing:
+            raise ValueError(
+                f"JSONL documents missing required field(s) {sorted(missing)}"
+                f" (have {sorted(names)})")
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        cols = {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "text": pc.cast(text, pa.string()),
+            "lang": (pc.cast(batch["lang"], pa.string()) if "lang" in names
+                     else pa.nulls(len(batch), pa.string())),
+            "source": pc.cast(batch["source"], pa.string()),
+            # per-VALUE, not per-column: the JSON reader unifies the
+            # file's schema, so a row missing n_chars arrives as a null
+            # in an existing column — derive exactly those
+            "n_chars": (pc.coalesce(pc.cast(batch["n_chars"], pa.int64()),
+                                    pc.cast(pc.utf8_length(text), pa.int64()))
+                        if "n_chars" in names
+                        else pc.cast(pc.utf8_length(text), pa.int64())),
+        }
+        return pa.Table.from_arrays(list(cols.values()),
+                                    schema=DOCUMENTS_SCHEMA)
+
+    return ds.map_batches(conform, batch_format="pyarrow")

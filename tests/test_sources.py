@@ -286,3 +286,64 @@ class TestSNBPropertyGraph:
         for r in edges.take_all():
             ep.add(r["src"]); ep.add(r["dst"])
         assert set(verts) == ep
+
+
+class TestJsonlDocuments:
+    def test_reads_canonical_shape_and_derives_n_chars(self, tmp_path):
+        import json
+
+        from sgp_sketch.sources import DOCUMENTS_SCHEMA, \
+            read_documents_jsonl
+
+        rows = [
+            {"doc_id": 1, "text": "hello world", "source": "web",
+             "lang": "en", "n_chars": 11, "extra": "dropped"},
+            {"doc_id": 2, "text": "αβγ", "source": "web"},  # optionals absent
+        ]
+        p = tmp_path / "docs.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        out = read_documents_jsonl(str(p))
+        got = out.take_all()
+        assert out.schema().names == DOCUMENTS_SCHEMA.names
+        by_id = {r["doc_id"]: r for r in got}
+        assert by_id[1]["n_chars"] == 11 and by_id[1]["lang"] == "en"
+        # n_chars derived as CHARACTER count (matches len(text)), lang null
+        assert by_id[2]["n_chars"] == 3 and by_id[2]["lang"] is None
+
+    def test_gzip_jsonl_feeds_the_tokens_pipeline(self, tmp_path):
+        import gzip
+        import json
+
+        from sgp_sketch.sources import read_documents_jsonl
+        from sgp_sketch.tokenize import tokenize_documents_batch
+
+        p = tmp_path / "docs.jsonl.gz"
+        with gzip.open(p, "wt") as f:
+            for i in range(5):
+                f.write(json.dumps({"doc_id": i, "text": f"tok{i} b c",
+                                    "source": "s"}) + "\n")
+        toks = read_documents_jsonl(str(p)).map_batches(
+            tokenize_documents_batch, batch_format="pyarrow").take_all()
+        assert len(toks) == 5
+        assert all(r["n_tok"] == 3 for r in toks)
+
+    def test_missing_required_field_fails_loudly(self, tmp_path):
+        import json
+
+        from sgp_sketch.sources import read_documents_jsonl
+
+        p = tmp_path / "bad.jsonl"
+        p.write_text(json.dumps({"doc_id": 1, "text": "x"}) + "\n")
+        with pytest.raises(Exception, match="source"):
+            read_documents_jsonl(str(p)).take_all()
+
+
+def test_gzip_snap_edges_auto_detected(tmp_path):
+    import gzip
+
+    p = tmp_path / "edges.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("# c\n1 2\n2 3\n3 3\n")
+    got = sorted((r["src"], r["dst"])
+                 for r in read_snap_edges(str(p)).take_all())
+    assert got == [("1", "2"), ("2", "3")]  # comment + self-loop dropped
