@@ -26,7 +26,12 @@ from .partition import (  # noqa: E402,F401
     assign_sources_salted,
     stable_hash_partition,
 )
-from .ops import asof_join, interval_join, pack_sequences  # noqa: E402,F401
+from .ops import (  # noqa: E402,F401
+    asof_join,
+    interval_join,
+    pack_sequences,
+    source_quota_sample,
+)
 from .analytics import (  # noqa: E402,F401
     bfs_layers,
     bfs_layers_rescan,

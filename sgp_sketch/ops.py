@@ -503,3 +503,105 @@ def drop_empty_blocks(ds, schema: "pa.Schema | None" = None):
     if schema is not None:
         return rd.from_arrow(schema.empty_table())
     return mat
+
+
+def source_quota_sample(ds, quotas: dict, *, key_col: str = "source",
+                        id_col: str = "doc_id", seed: int = 0):
+    """Deterministic per-source downsampling — the data-MIXING step of a
+    training-data pipeline (cap source s at ``quotas[s]`` documents;
+    sources absent from ``quotas`` pass through in full).
+
+    A row survives iff its id's hash ranks among the ``q`` smallest
+    within its source — a uniform, seedable sample that is EXACT and
+    independent of block layout / arrival order (rank is a pure function
+    of the id set, unlike ``ds.limit`` or reservoir order). For integer
+    ids splitmix64 is a bijection on uint64, so distinct ids never tie
+    and exactly ``min(q, n_s)`` rows survive; string ids use SipHash
+    (collision odds ~n²/2⁶⁵ — astronomically rare, and a collision can
+    only make the count off by its multiplicity, never non-deterministic).
+
+    Scale shape (two streaming passes, KMV/bottom-k style):
+    1. a (key, id)-only combiner keeps each batch's ``q`` smallest hashes
+       per quota'd source (argpartition — O(batch)); one small
+       ``groupby(key)`` folds partials to the q-th-smallest THRESHOLD per
+       source (sources are low-cardinality by this engine's design; the
+       shuffle carries ≤ q·n_batches 16-byte rows, never documents);
+    2. the full rows stream through one filter against the broadcast
+       (source -> threshold) map. Payload columns move only here, and
+       only survivors move on.
+    """
+    import ray
+
+    from .hashing import hash_i64, hash_str
+
+    if any(int(q) < 0 for q in quotas.values()):
+        raise ValueError("quotas must be >= 0")
+    quotas = {k: int(v) for k, v in quotas.items()}
+    capped = {k for k, v in quotas.items() if v > 0}
+
+    def _hashes(ids: np.ndarray) -> np.ndarray:
+        return (hash_i64(ids, seed=seed) if ids.dtype.kind in "iu"
+                else hash_str(ids, seed=seed))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        src = t[key_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        keys, hs = [], []
+        for u_i, u in enumerate(uniq):
+            q = quotas.get(u)
+            if not q:  # uncapped (pass-through) or quota 0 (dropped)
+                continue
+            h = _hashes(ids[inv == u_i])
+            if len(h) > q:
+                h = np.partition(h, q - 1)[:q]
+            keys.append(np.full(len(h), u, dtype=object))
+            hs.append(h)
+        if not keys:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "h": pa.array([], pa.uint64())})
+        return pa.table({key_col: pa.array(np.concatenate(keys),
+                                           pa.string()),
+                         "h": pa.array(np.concatenate(hs), pa.uint64())})
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[key_col].iloc[0]
+        h = g["h"].to_numpy(dtype=np.uint64)
+        q = quotas[u]
+        # each batch contributed its q smallest, so the union contains
+        # the global q smallest; threshold = q-th smallest (or max when
+        # the source has fewer than q rows -> keep all)
+        thr = np.partition(h, q - 1)[q - 1] if len(h) >= q else h.max()
+        return pd.DataFrame({key_col: [u], "thr": [np.uint64(thr)]})
+
+    if capped:
+        thr_df = (ds.select_columns([key_col, id_col])
+                  .map_batches(_partial, batch_format="pyarrow")
+                  .groupby(key_col).map_groups(_fold, batch_format="pandas")
+                  .to_pandas())
+        thr_map = dict(zip(thr_df[key_col],
+                           thr_df["thr"].to_numpy(np.uint64)))
+    else:  # every quota is 0: nothing needs a threshold pass
+        thr_map = {}
+    ref = ray.put(thr_map)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        thr = ray.get(ref)
+        src = t[key_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        keep = np.ones(len(src), dtype=bool)
+        h = None
+        for u_i, u in enumerate(uniq):
+            if u not in quotas:
+                continue  # uncapped source: keep in full
+            m = inv == u_i
+            t_u = thr.get(u)
+            if t_u is None:  # quota 0, or capped source absent in pass 1
+                keep[m] = False
+                continue
+            if h is None:
+                h = _hashes(t[id_col].to_numpy(zero_copy_only=False))
+            keep[m] = h[m] <= t_u
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

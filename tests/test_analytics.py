@@ -645,3 +645,95 @@ def test_join_partitions_knob(monkeypatch):
     assert join_partitions(default=16) == 16
     monkeypatch.setenv("SGP_JOIN_PARTS", "256")
     assert join_partitions() == 256
+
+
+class TestSourceQuotaSample:
+    """source_quota_sample: exact per-source caps, layout independence,
+    and DuckDB rank-window parity (the data-mixing operator)."""
+
+    def _docs(self, counts: dict):
+        import ray.data as rd
+
+        rows = {"doc_id": [], "source": [], "payload": []}
+        i = 0
+        for s, n in counts.items():
+            for _ in range(n):
+                rows["doc_id"].append(i)
+                rows["source"].append(s)
+                rows["payload"].append(f"p{i}")
+                i += 1
+        return rd.from_pandas(pd.DataFrame(rows)).repartition(5)
+
+    def test_exact_counts_and_passthrough(self):
+        from sgp_sketch.ops import source_quota_sample
+
+        ds = self._docs({"a": 40, "b": 7, "c": 13})
+        out = source_quota_sample(
+            ds, {"a": 10, "b": 100, "z": 5}).to_pandas()
+        got = out.groupby("source").size().to_dict()
+        # a capped below n -> exactly q; b capped above n -> all;
+        # c uncapped -> all; z absent from data -> nothing added
+        assert got == {"a": 10, "b": 7, "c": 13}
+        assert set(out.columns) == {"doc_id", "source", "payload"}
+
+    def test_deterministic_and_layout_invariant(self):
+        from sgp_sketch.ops import source_quota_sample
+
+        counts = {"a": 60, "b": 25}
+        quotas = {"a": 15, "b": 9}
+        ids1 = sorted(source_quota_sample(
+            self._docs(counts), quotas).to_pandas()["doc_id"])
+        ids2 = sorted(source_quota_sample(
+            self._docs(counts).repartition(1), quotas).to_pandas()["doc_id"])
+        assert ids1 == ids2  # pure function of the id set, not the layout
+        # a different seed draws a different (equally sized) sample
+        ids3 = sorted(source_quota_sample(
+            self._docs(counts), quotas, seed=1).to_pandas()["doc_id"])
+        assert len(ids3) == len(ids1) and ids3 != ids1
+
+    def test_quota_zero_drops_source(self):
+        from sgp_sketch.ops import source_quota_sample
+
+        ds = self._docs({"a": 5, "b": 5})
+        out = source_quota_sample(ds, {"a": 0}).to_pandas()
+        assert set(out["source"]) == {"b"} and len(out) == 5
+        # all-zero quotas: threshold pass skipped entirely, still correct
+        out2 = source_quota_sample(ds, {"a": 0, "b": 0}).to_pandas()
+        assert len(out2) == 0
+
+    def test_matches_duckdb_rank_window(self):
+        import duckdb
+
+        from sgp_sketch.ops import source_quota_sample
+
+        ds = self._docs({"a": 50, "b": 30, "c": 4})
+        quotas = {"a": 12, "b": 30, "c": 2}
+        got = sorted(source_quota_sample(ds, quotas)
+                     .to_pandas()["doc_id"])
+        df = ds.to_pandas()
+        m64 = 1 << 64
+        con = duckdb.connect()
+        con.register("docs", df)
+        exp = con.execute(f"""
+          WITH z1 AS (SELECT doc_id, source,
+                 ((CAST(doc_id AS HUGEINT) % {m64} + {m64}
+                   + 11400714819323198485) % {m64}) AS z FROM docs),
+          x1 AS (SELECT doc_id, source, xor(z, z >> 30) AS v FROM z1),
+          z2 AS (SELECT doc_id, source,
+                 ((v % 4294967296) * 13787848793156543929
+                  + ((v // 4294967296) * 13787848793156543929 % 4294967296)
+                    * 4294967296) % {m64} AS z FROM x1),
+          x2 AS (SELECT doc_id, source, xor(z, z >> 27) AS v FROM z2),
+          z3 AS (SELECT doc_id, source,
+                 ((v % 4294967296) * 10723151780598845931
+                  + ((v // 4294967296) * 10723151780598845931 % 4294967296)
+                    * 4294967296) % {m64} AS z FROM x2),
+          h AS (SELECT doc_id, source, xor(z, z >> 31) AS hv FROM z3),
+          r AS (SELECT doc_id, source, row_number() OVER (
+                    PARTITION BY source ORDER BY hv) AS rn FROM h)
+          SELECT doc_id FROM r
+          WHERE rn <= CASE source WHEN 'a' THEN 12 WHEN 'b' THEN 30
+                      ELSE 2 END
+          ORDER BY doc_id
+        """).df()
+        assert got == exp["doc_id"].tolist()
