@@ -506,7 +506,8 @@ def drop_empty_blocks(ds, schema: "pa.Schema | None" = None):
 
 
 def source_quota_sample(ds, quotas: dict, *, key_col: str = "source",
-                        id_col: str = "doc_id", seed: int = 0):
+                        id_col: str = "doc_id", seed: int = 0,
+                        weight_col: str | None = None):
     """Deterministic per-source downsampling — the data-MIXING step of a
     training-data pipeline (cap source s at ``quotas[s]`` documents;
     sources absent from ``quotas`` pass through in full).
@@ -529,6 +530,14 @@ def source_quota_sample(ds, quotas: dict, *, key_col: str = "source",
     2. the full rows stream through one filter against the broadcast
        (source -> threshold) map. Payload columns move only here, and
        only survivors move on.
+
+    ``weight_col`` switches quotas from document COUNTS to WEIGHT
+    BUDGETS (the real unit of data mixing is tokens): a source keeps
+    its docs in hash order while the running inclusive weight stays
+    within ``quotas[s]`` — so the kept set never exceeds the budget,
+    is still exact and layout-independent, and the batch combiner's
+    prune stays valid (a row whose own batch already exceeds the budget
+    before it can never be under the global threshold).
     """
     import ray
 
@@ -546,36 +555,65 @@ def source_quota_sample(ds, quotas: dict, *, key_col: str = "source",
     def _partial(t: pa.Table) -> pa.Table:
         src = t[key_col].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
+        w_all = (t[weight_col].to_numpy(zero_copy_only=False)
+                 .astype(np.int64) if weight_col else None)
         uniq, inv = np.unique(src, return_inverse=True)
-        keys, hs = [], []
+        keys, hs, ws = [], [], []
         for u_i, u in enumerate(uniq):
             q = quotas.get(u)
             if not q:  # uncapped (pass-through) or quota 0 (dropped)
                 continue
-            h = _hashes(ids[inv == u_i])
-            if len(h) > q:
+            m = inv == u_i
+            h = _hashes(ids[m])
+            if weight_col:
+                # budget prune: keep rows in hash order while the
+                # inclusive running weight fits the budget — a row whose
+                # OWN batch already overshoots before it cannot rank
+                # under the global threshold either
+                order = np.argsort(h)
+                w = w_all[m][order]
+                k = int(np.searchsorted(np.cumsum(w), q, side="right"))
+                h = h[order[:k]]
+                ws.append(w[:k])
+            elif len(h) > q:
                 h = np.partition(h, q - 1)[:q]
             keys.append(np.full(len(h), u, dtype=object))
             hs.append(h)
         if not keys:
-            return pa.table({key_col: pa.array([], pa.string()),
-                             "h": pa.array([], pa.uint64())})
-        return pa.table({key_col: pa.array(np.concatenate(keys),
-                                           pa.string()),
-                         "h": pa.array(np.concatenate(hs), pa.uint64())})
+            out = {key_col: pa.array([], pa.string()),
+                   "h": pa.array([], pa.uint64())}
+            if weight_col:
+                out["w"] = pa.array([], pa.int64())
+            return pa.table(out)
+        out = {key_col: pa.array(np.concatenate(keys), pa.string()),
+               "h": pa.array(np.concatenate(hs), pa.uint64())}
+        if weight_col:
+            out["w"] = pa.array(np.concatenate(ws) if ws else
+                                np.array([], dtype=np.int64), pa.int64())
+        return pa.table(out)
 
     def _fold(g: pd.DataFrame) -> pd.DataFrame:
         u = g[key_col].iloc[0]
         h = g["h"].to_numpy(dtype=np.uint64)
         q = quotas[u]
-        # each batch contributed its q smallest, so the union contains
-        # the global q smallest; threshold = q-th smallest (or max when
-        # the source has fewer than q rows -> keep all)
-        thr = np.partition(h, q - 1)[q - 1] if len(h) >= q else h.max()
+        if weight_col:
+            order = np.argsort(h)
+            w = g["w"].to_numpy(dtype=np.int64)[order]
+            k = int(np.searchsorted(np.cumsum(w), q, side="right"))
+            if k == 0:  # even the smallest-hash doc overshoots: drop all
+                return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                     "thr": pd.Series([], dtype=np.uint64)})
+            thr = h[order[k - 1]]
+        else:
+            # each batch contributed its q smallest, so the union contains
+            # the global q smallest; threshold = q-th smallest (or max when
+            # the source has fewer than q rows -> keep all)
+            thr = np.partition(h, q - 1)[q - 1] if len(h) >= q else h.max()
         return pd.DataFrame({key_col: [u], "thr": [np.uint64(thr)]})
 
     if capped:
-        thr_df = (ds.select_columns([key_col, id_col])
+        sel = [key_col, id_col] + ([weight_col] if weight_col else [])
+        thr_df = (ds.select_columns(sel)
                   .map_batches(_partial, batch_format="pyarrow")
                   .groupby(key_col).map_groups(_fold, batch_format="pandas")
                   .to_pandas())

@@ -737,3 +737,79 @@ class TestSourceQuotaSample:
           ORDER BY doc_id
         """).df()
         assert got == exp["doc_id"].tolist()
+
+    def test_token_budget_mode_matches_bruteforce(self):
+        import ray.data as rd
+
+        from sgp_sketch.hashing import hash_i64
+        from sgp_sketch.ops import source_quota_sample
+
+        rng = np.random.default_rng(3)
+        n = 200
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": rng.choice(["a", "b", "c"], n),
+            "n_tok": rng.integers(1, 50, n).astype(np.int64),
+        })
+        budgets = {"a": 300, "b": 7, "c": 0}
+        got = source_quota_sample(
+            rd.from_pandas(df).repartition(6), budgets,
+            weight_col="n_tok").to_pandas()
+        # brute force: per source, keep docs in hash order while the
+        # inclusive running n_tok stays within the budget
+        exp_ids = []
+        for s_, g in df.groupby("source"):
+            b = budgets.get(s_)
+            if b is None:
+                exp_ids += g["doc_id"].tolist()
+                continue
+            g = g.assign(h=hash_i64(g["doc_id"].to_numpy()))
+            g = g.sort_values("h")
+            keep = g["n_tok"].cumsum() <= b
+            exp_ids += g.loc[keep, "doc_id"].tolist()
+        assert sorted(got["doc_id"]) == sorted(exp_ids)
+        for s_, b in budgets.items():
+            assert got.loc[got["source"] == s_, "n_tok"].sum() <= b
+
+    def test_token_budget_matches_duckdb_running_sum(self):
+        import duckdb
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        n = 150
+        df = pd.DataFrame({
+            "doc_id": np.arange(1000, 1000 + n, dtype=np.int64),
+            "source": rng.choice(["a", "b"], n),
+            "n_tok": rng.integers(1, 30, n).astype(np.int64),
+        })
+        from sgp_sketch.ops import source_quota_sample
+
+        got = sorted(source_quota_sample(
+            rd.from_pandas(df).repartition(4), {"a": 250, "b": 100},
+            weight_col="n_tok").to_pandas()["doc_id"])
+        m64 = 1 << 64
+        con = duckdb.connect()
+        con.register("docs", df)
+        exp = con.execute(f"""
+          WITH z1 AS (SELECT doc_id, source, n_tok,
+                 ((CAST(doc_id AS HUGEINT) % {m64} + {m64}
+                   + 11400714819323198485) % {m64}) AS z FROM docs),
+          x1 AS (SELECT *, xor(z, z >> 30) AS v FROM z1),
+          z2 AS (SELECT doc_id, source, n_tok,
+                 ((v % 4294967296) * 13787848793156543929
+                  + ((v // 4294967296) * 13787848793156543929 % 4294967296)
+                    * 4294967296) % {m64} AS z FROM x1),
+          x2 AS (SELECT *, xor(z, z >> 27) AS v FROM z2),
+          z3 AS (SELECT doc_id, source, n_tok,
+                 ((v % 4294967296) * 10723151780598845931
+                  + ((v // 4294967296) * 10723151780598845931 % 4294967296)
+                    * 4294967296) % {m64} AS z FROM x2),
+          h AS (SELECT doc_id, source, n_tok, xor(z, z >> 31) AS hv FROM z3),
+          r AS (SELECT doc_id, source, sum(n_tok) OVER (
+                    PARTITION BY source ORDER BY hv
+                    ROWS UNBOUNDED PRECEDING) AS run FROM h)
+          SELECT doc_id FROM r
+          WHERE run <= CASE source WHEN 'a' THEN 250 ELSE 100 END
+          ORDER BY doc_id
+        """).df()
+        assert got == exp["doc_id"].tolist()
