@@ -31,6 +31,7 @@ from .ops import (  # noqa: E402,F401
     interval_join,
     pack_sequences,
     source_quota_sample,
+    source_repeat,
 )
 from .analytics import (  # noqa: E402,F401
     bfs_layers,

@@ -643,3 +643,59 @@ def source_quota_sample(ds, quotas: dict, *, key_col: str = "source",
         return t.filter(pa.array(keep))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def source_repeat(ds, factors: dict, *, key_col: str = "source",
+                  id_col: str = "doc_id", seed: int = 0,
+                  epoch_col: str | None = "epoch"):
+    """Deterministic per-source UPsampling — the other half of data
+    mixing (``source_quota_sample`` caps; this repeats). Source ``s``
+    emits each row ``floor(factors[s])`` times plus one more for the
+    ids whose hash falls under the fractional part — so a 2.25 factor
+    repeats every doc twice and a deterministic, layout-independent
+    quarter of them a third time (expected volume = 2.25x, exact per
+    id, seedable). Sources absent from ``factors`` emit once; factor 0
+    drops a source.
+
+    Pure single-pass ``map_batches`` (no shuffle, no driver state):
+    each batch expands via one ``take``. ``epoch_col`` (default
+    ``"epoch"``) numbers the copies 0..reps-1 so downstream exact-dedup
+    or groupby stages can tell replicas apart; pass ``None`` to omit.
+    """
+    from .hashing import hash_i64, hash_str
+
+    if any(f < 0 for f in factors.values()):
+        raise ValueError("factors must be >= 0")
+    fracs = {k: (int(np.floor(f)), float(f) - int(np.floor(f)))
+             for k, f in factors.items()}
+
+    def _expand(t: pa.Table) -> pa.Table:
+        src = t[key_col].to_numpy(zero_copy_only=False)
+        reps = np.ones(len(src), dtype=np.int64)
+        h = None
+        uniq, inv = np.unique(src, return_inverse=True)
+        for u_i, u in enumerate(uniq):
+            fr = fracs.get(u)
+            if fr is None:
+                continue
+            base, frac = fr
+            m = inv == u_i
+            reps[m] = base
+            if frac > 0.0:
+                if h is None:
+                    ids = t[id_col].to_numpy(zero_copy_only=False)
+                    h = (hash_i64(ids, seed=seed)
+                         if ids.dtype.kind in "iu"
+                         else hash_str(ids, seed=seed))
+                cut = np.uint64(int(frac * float(1 << 64)))
+                reps[m] += (h[m] < cut).astype(np.int64)
+        idx = np.repeat(np.arange(len(src), dtype=np.int64), reps)
+        out = t.take(pa.array(idx))
+        if epoch_col is not None:
+            starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+            epoch = np.arange(len(idx), dtype=np.int64) - np.repeat(
+                starts, reps)
+            out = out.append_column(epoch_col, pa.array(epoch))
+        return out
+
+    return ds.map_batches(_expand, batch_format="pyarrow")

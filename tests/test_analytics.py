@@ -813,3 +813,54 @@ class TestSourceQuotaSample:
           ORDER BY doc_id
         """).df()
         assert got == exp["doc_id"].tolist()
+
+
+class TestSourceRepeat:
+    def _ds(self, counts):
+        import ray.data as rd
+
+        rows = {"doc_id": [], "source": []}
+        i = 0
+        for s, n in counts.items():
+            for _ in range(n):
+                rows["doc_id"].append(i)
+                rows["source"].append(s)
+                i += 1
+        return rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+    def test_integer_factors_exact_and_epochs(self):
+        from sgp_sketch.ops import source_repeat
+
+        out = source_repeat(self._ds({"a": 10, "b": 6, "c": 3}),
+                            {"a": 3, "b": 0}).to_pandas()
+        got = out.groupby("source").size().to_dict()
+        assert got == {"a": 30, "c": 3}  # b dropped, c defaults to 1x
+        per_doc = out[out["source"] == "a"].groupby("doc_id")["epoch"]
+        assert all(sorted(g) == [0, 1, 2] for _, g in per_doc)
+
+    def test_fractional_factor_deterministic_and_layout_invariant(self):
+        from sgp_sketch.hashing import hash_i64
+        from sgp_sketch.ops import source_repeat
+
+        n = 400
+        out1 = source_repeat(self._ds({"a": n}), {"a": 2.25}).to_pandas()
+        out2 = source_repeat(self._ds({"a": n}).repartition(1),
+                             {"a": 2.25}).to_pandas()
+        c1 = out1.groupby("doc_id").size()
+        assert sorted(c1.unique()) == [2, 3]
+        # exact hash rule: a third copy iff hash(id) < 0.25 * 2^64
+        cut = np.uint64(int(0.25 * float(1 << 64)))
+        ids = np.arange(n, dtype=np.int64)
+        expect = 2 + (hash_i64(ids) < cut).astype(int)
+        assert (c1.sort_index().to_numpy() == expect).all()
+        assert out2.groupby("doc_id").size().sort_index().equals(
+            c1.sort_index())
+        # expected volume ~2.25x (law of large numbers at n=400)
+        assert abs(len(out1) / n - 2.25) < 0.15
+
+    def test_no_epoch_column_when_disabled(self):
+        from sgp_sketch.ops import source_repeat
+
+        out = source_repeat(self._ds({"a": 4}), {"a": 2},
+                            epoch_col=None).to_pandas()
+        assert "epoch" not in out.columns and len(out) == 8
