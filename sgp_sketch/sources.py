@@ -421,33 +421,50 @@ def read_documents_jsonl(path: str):
     """
     import ray.data as rd
 
-    ds = rd.read_json(path)
+    return rd.read_json(path).map_batches(conform_documents_batch,
+                                          batch_format="pyarrow")
 
-    def conform(batch: pa.Table) -> pa.Table:
-        names = set(batch.schema.names)
-        missing = {"doc_id", "text", "source"} - names
-        if missing:
-            raise ValueError(
-                f"JSONL documents missing required field(s) {sorted(missing)}"
-                f" (have {sorted(names)})")
-        text = batch["text"]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        cols = {
-            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-            "text": pc.cast(text, pa.string()),
-            "lang": (pc.cast(batch["lang"], pa.string()) if "lang" in names
-                     else pa.nulls(len(batch), pa.string())),
-            "source": pc.cast(batch["source"], pa.string()),
-            # per-VALUE, not per-column: the JSON reader unifies the
-            # file's schema, so a row missing n_chars arrives as a null
-            # in an existing column — derive exactly those
-            "n_chars": (pc.coalesce(pc.cast(batch["n_chars"], pa.int64()),
-                                    pc.cast(pc.utf8_length(text), pa.int64()))
-                        if "n_chars" in names
-                        else pc.cast(pc.utf8_length(text), pa.int64())),
-        }
-        return pa.Table.from_arrays(list(cols.values()),
-                                    schema=DOCUMENTS_SCHEMA)
 
-    return ds.map_batches(conform, batch_format="pyarrow")
+def conform_documents_batch(batch: pa.Table) -> pa.Table:
+    """Conform an arbitrary-schema batch to ``DOCUMENTS_SCHEMA``: required
+    ``doc_id``/``text``/``source`` fail loudly when absent, ``lang``
+    defaults to null, ``n_chars`` derives from ``text`` per-VALUE (JSON
+    readers unify the file's schema, so a row missing n_chars arrives as
+    a null in an existing column — derive exactly those), unknown extra
+    columns are dropped. Shared by the JSONL reader and writer so both
+    directions of the interchange agree on the canonical shape."""
+    names = set(batch.schema.names)
+    missing = {"doc_id", "text", "source"} - names
+    if missing:
+        raise ValueError(
+            f"JSONL documents missing required field(s) {sorted(missing)}"
+            f" (have {sorted(names)})")
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    cols = {
+        "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        "text": pc.cast(text, pa.string()),
+        "lang": (pc.cast(batch["lang"], pa.string()) if "lang" in names
+                 else pa.nulls(len(batch), pa.string())),
+        "source": pc.cast(batch["source"], pa.string()),
+        "n_chars": (pc.coalesce(pc.cast(batch["n_chars"], pa.int64()),
+                                pc.cast(pc.utf8_length(text), pa.int64()))
+                    if "n_chars" in names
+                    else pc.cast(pc.utf8_length(text), pa.int64())),
+    }
+    return pa.Table.from_arrays(list(cols.values()),
+                                schema=DOCUMENTS_SCHEMA)
+
+
+def write_documents_jsonl(ds, path: str) -> None:
+    """Documents Dataset -> one-JSON-object-per-line files under ``path``
+    — the sink counterpart of ``read_documents_jsonl`` (round-trip pinned
+    by test), so curated/filtered corpora export in the interchange
+    format other systems ingest. Columns are conformed to
+    ``DOCUMENTS_SCHEMA`` first (pipeline outputs often carry extra score/
+    flag columns; a corpus missing a required column fails loudly).
+    ``Dataset.write_json`` streams one file per block — a partitioned,
+    resumable layout, never one giant file."""
+    ds.map_batches(conform_documents_batch,
+                   batch_format="pyarrow").write_json(path)

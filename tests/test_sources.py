@@ -337,6 +337,38 @@ class TestJsonlDocuments:
         with pytest.raises(Exception, match="source"):
             read_documents_jsonl(str(p)).take_all()
 
+    def test_write_round_trips_and_drops_extras(self, tmp_path):
+        import ray.data as rd
+
+        from sgp_sketch.sources import DOCUMENTS_SCHEMA, \
+            read_documents_jsonl, write_documents_jsonl
+
+        rows = [{"doc_id": i, "text": f"doc {i} αβ", "lang": None,
+                 "source": "web" if i % 2 else "book",
+                 "n_chars": len(f"doc {i} αβ"),
+                 "score": i * 0.5}  # extra pipeline column -> dropped
+                for i in range(7)]
+        out = tmp_path / "export"
+        write_documents_jsonl(rd.from_items(rows), str(out))
+        back = read_documents_jsonl(str(out))
+        assert back.schema().names == DOCUMENTS_SCHEMA.names
+        got = sorted(back.take_all(), key=lambda r: r["doc_id"])
+        assert [r["doc_id"] for r in got] == list(range(7))
+        for r, orig in zip(got, rows):
+            assert r["text"] == orig["text"]
+            assert r["source"] == orig["source"]
+            assert r["n_chars"] == orig["n_chars"]
+            assert "score" not in r
+
+    def test_write_missing_required_column_fails_loudly(self, tmp_path):
+        import ray.data as rd
+
+        from sgp_sketch.sources import write_documents_jsonl
+
+        ds = rd.from_items([{"doc_id": 1, "text": "x"}])
+        with pytest.raises(Exception, match="source"):
+            write_documents_jsonl(ds, str(tmp_path / "bad"))
+
 
 def test_gzip_snap_edges_auto_detected(tmp_path):
     import gzip
