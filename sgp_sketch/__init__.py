@@ -28,6 +28,7 @@ from .partition import (  # noqa: E402,F401
 )
 from .ops import (  # noqa: E402,F401
     asof_join,
+    epoch_shuffle,
     interval_join,
     pack_sequences,
     source_quota_sample,

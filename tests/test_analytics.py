@@ -864,3 +864,67 @@ class TestSourceRepeat:
         out = source_repeat(self._ds({"a": 4}), {"a": 2},
                             epoch_col=None).to_pandas()
         assert "epoch" not in out.columns and len(out) == 8
+
+
+class TestEpochShuffle:
+    """epoch_shuffle: deterministic replayable epoch ordering — the
+    training-data delivery shuffle (layout-independent in global scope)."""
+
+    def _docs(self, n=80, parts=5):
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "payload": [f"p{i}" for i in range(n)],
+        })).repartition(parts)
+
+    def test_permutation_deterministic_and_epoch_distinct(self):
+        from sgp_sketch.ops import epoch_shuffle
+
+        base = list(range(80))
+        o1 = epoch_shuffle(self._docs(), epoch=0).to_pandas()
+        o2 = epoch_shuffle(self._docs(), epoch=0).to_pandas()
+        o3 = epoch_shuffle(self._docs(), epoch=1).to_pandas()
+        # exact multiset, payload rides along, key column dropped
+        assert sorted(o1["doc_id"]) == base
+        assert list(o1.columns) == ["doc_id", "payload"]
+        assert (o1["payload"] == "p" + o1["doc_id"].astype(str)).all()
+        # replayable within an epoch, different across epochs
+        assert list(o1["doc_id"]) == list(o2["doc_id"])
+        assert list(o1["doc_id"]) != list(o3["doc_id"])
+        assert sorted(o3["doc_id"]) == base
+
+    def test_global_scope_is_layout_invariant(self):
+        from sgp_sketch.ops import epoch_shuffle
+
+        a = epoch_shuffle(self._docs(parts=1), epoch=2).to_pandas()
+        b = epoch_shuffle(self._docs(parts=7), epoch=2).to_pandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+
+    def test_string_ids_and_seed_mixing(self):
+        import ray.data as rd
+
+        from sgp_sketch.ops import epoch_shuffle
+
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [f"d{i}" for i in range(40)]})).repartition(3)
+        o1 = epoch_shuffle(ds, epoch=0, seed=1).to_pandas()
+        o2 = epoch_shuffle(ds, epoch=0, seed=2).to_pandas()
+        assert sorted(o1["doc_id"]) == sorted(o2["doc_id"])
+        assert list(o1["doc_id"]) != list(o2["doc_id"])
+
+    def test_blocks_scope_permutes_without_shuffle(self):
+        from sgp_sketch.ops import epoch_shuffle
+
+        out = epoch_shuffle(self._docs(), epoch=0, scope="blocks")
+        got = out.to_pandas()
+        assert sorted(got["doc_id"]) == list(range(80))
+        assert list(got["doc_id"]) != list(range(80))  # actually mixed
+        # no all-to-all operator in the plan (the whole point of the mode)
+        assert "Sort" not in str(out._plan if hasattr(out, "_plan") else "")
+
+    def test_bad_scope_raises(self):
+        from sgp_sketch.ops import epoch_shuffle
+
+        with pytest.raises(ValueError, match="scope"):
+            epoch_shuffle(self._docs(), scope="banana")
