@@ -557,6 +557,11 @@ def source_quota_sample(ds, quotas: dict, *, key_col: str = "source",
         ids = t[id_col].to_numpy(zero_copy_only=False)
         w_all = (t[weight_col].to_numpy(zero_copy_only=False)
                  .astype(np.int64) if weight_col else None)
+        if w_all is not None and len(w_all) and w_all.min() < 0:
+            # the batch prune and the running-cumsum threshold are only
+            # valid for monotone prefixes — negative weights would make
+            # both silently wrong, so fail loudly instead
+            raise ValueError(f"{weight_col} must be non-negative")
         uniq, inv = np.unique(src, return_inverse=True)
         keys, hs, ws = [], [], []
         for u_i, u in enumerate(uniq):
@@ -617,8 +622,12 @@ def source_quota_sample(ds, quotas: dict, *, key_col: str = "source",
                   .map_batches(_partial, batch_format="pyarrow")
                   .groupby(key_col).map_groups(_fold, batch_format="pandas")
                   .to_pandas())
-        thr_map = dict(zip(thr_df[key_col],
-                           thr_df["thr"].to_numpy(np.uint64)))
+        # every fold group can come back empty (each capped source's
+        # budget below its smallest-hash doc) — Ray 2.49's empty
+        # to_pandas() drops ALL columns, so guard before subscripting
+        thr_map = ({} if thr_df.empty else
+                   dict(zip(thr_df[key_col],
+                            thr_df["thr"].to_numpy(np.uint64))))
     else:  # every quota is 0: nothing needs a threshold pass
         thr_map = {}
     ref = ray.put(thr_map)

@@ -814,6 +814,34 @@ class TestSourceQuotaSample:
         """).df()
         assert got == exp["doc_id"].tolist()
 
+    def test_all_budgets_overshoot_yields_empty_thresholds(self):
+        # every capped source's budget is below its smallest-hash doc ->
+        # every fold group is empty -> Ray 2.49's empty to_pandas drops
+        # ALL columns; regression for the KeyError that guard fixes
+        import ray.data as rd
+
+        from sgp_sketch.ops import source_quota_sample
+
+        df = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64),
+                           "source": ["a"] * 10 + ["b"] * 10,
+                           "w": [50] * 10 + [3] * 10})
+        out = source_quota_sample(
+            rd.from_pandas(df).repartition(4), {"a": 5},
+            weight_col="w").to_pandas()
+        # capped source fully dropped, uncapped passes through in full
+        assert out.groupby("source").size().to_dict() == {"b": 10}
+
+    def test_negative_weight_fails_loudly(self):
+        import ray.data as rd
+
+        from sgp_sketch.ops import source_quota_sample
+
+        df = pd.DataFrame({"doc_id": [1, 2], "source": ["a", "a"],
+                           "w": [5, -1]})
+        with pytest.raises(Exception, match="non-negative"):
+            source_quota_sample(rd.from_pandas(df), {"a": 5},
+                                weight_col="w").to_pandas()
+
 
 class TestSourceRepeat:
     def _ds(self, counts):
