@@ -675,10 +675,20 @@ def source_repeat(ds, factors: dict, *, key_col: str = "source",
 
     if any(f < 0 for f in factors.values()):
         raise ValueError("factors must be >= 0")
+
+    def _check_epoch_col(t: pa.Table) -> None:
+        # Arrow append_column allows duplicate names SILENTLY — a table
+        # already carrying the epoch column would grow a second one and
+        # break downstream selects confusingly; fail loudly instead
+        if epoch_col is not None and epoch_col in t.schema.names:
+            raise ValueError(
+                f"input already has a {epoch_col!r} column; pass "
+                f"epoch_col=None or another name")
     fracs = {k: (int(np.floor(f)), float(f) - int(np.floor(f)))
              for k, f in factors.items()}
 
     def _expand(t: pa.Table) -> pa.Table:
+        _check_epoch_col(t)
         src = t[key_col].to_numpy(zero_copy_only=False)
         reps = np.ones(len(src), dtype=np.int64)
         h = None
@@ -725,7 +735,10 @@ def epoch_shuffle(ds, epoch: int = 0, *, id_col: str = "doc_id",
     inherent (and only) cost of a TRUE global permutation; blocks stream
     through the shuffle, nothing materializes on the driver. Distinct
     integer ids never tie (splitmix64 is a bijection per mix); string
-    ids tie only on a 64-bit SipHash collision.
+    ids tie only on a 64-bit SipHash collision. Rows SHARING an id hash
+    equal, so their relative order is the one case that stays
+    layout-dependent — shuffle after dedup / id assignment, or pick an
+    ``id_col`` that is unique.
 
     ``scope="blocks"``: the cheap approximate path — seeded
     ``randomize_block_order`` plus the same deterministic hash-argsort

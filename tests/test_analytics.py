@@ -893,6 +893,22 @@ class TestSourceRepeat:
                             epoch_col=None).to_pandas()
         assert "epoch" not in out.columns and len(out) == 8
 
+    def test_existing_epoch_column_fails_loudly(self):
+        import ray.data as rd
+
+        from sgp_sketch.ops import source_repeat
+
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1, 2], "source": ["a", "a"], "epoch": [9, 9]}))
+        # Arrow append_column would SILENTLY create a duplicate name
+        with pytest.raises(Exception, match="epoch"):
+            source_repeat(ds, {"a": 2}).to_pandas()
+        # opting out of the column, or renaming it, both work
+        out = source_repeat(ds, {"a": 2}, epoch_col=None).to_pandas()
+        assert len(out) == 4 and list(out["epoch"].unique()) == [9]
+        out = source_repeat(ds, {"a": 2}, epoch_col="copy_i").to_pandas()
+        assert sorted(out["copy_i"]) == [0, 0, 1, 1]
+
 
 class TestEpochShuffle:
     """epoch_shuffle: deterministic replayable epoch ordering — the
