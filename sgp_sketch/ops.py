@@ -537,7 +537,10 @@ def source_quota_sample(ds, quotas: dict, *, key_col: str = "source",
     within ``quotas[s]`` — so the kept set never exceeds the budget,
     is still exact and layout-independent, and the batch combiner's
     prune stays valid (a row whose own batch already exceeds the budget
-    before it can never be under the global threshold).
+    before it can never be under the global threshold). A budget of 0
+    drops the source entirely, exactly like a count quota of 0 (the
+    one divergence from a literal ``running_weight <= budget`` rule,
+    which would keep zero-weight docs under a zero budget).
     """
     import ray
 

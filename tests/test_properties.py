@@ -193,3 +193,49 @@ def test_local_topk_idx_matches_full_sort(sim_levels, kk):
     # return an unordered unique top-k set when no boundary ties exist)
     canon = sorted(zip(-row[got], ids[got]))
     assert canon == sorted(zip(-row[want], ids[want]))
+
+
+# ---- data-mixing differential properties (vs brute force) ----------------
+
+mix_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),          # source
+              st.integers(min_value=0, max_value=40)),    # weight (0 legal)
+    min_size=1, max_size=60)
+mix_budgets = st.dictionaries(st.sampled_from(["a", "b", "c"]),
+                              st.integers(min_value=0, max_value=300),
+                              min_size=1, max_size=3)
+
+
+@settings(max_examples=8, deadline=None)
+@given(mix_rows, mix_budgets, st.integers(min_value=1, max_value=5))
+def test_weighted_quota_matches_bruteforce(rows, budgets, parts):
+    """source_quota_sample(weight_col=...) == per-source keep-in-hash-order
+    brute force, for arbitrary sources/weights (incl. zero), budgets
+    (incl. 0 and all-overshoot) and block layouts."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sgp_sketch.hashing import hash_i64
+    from sgp_sketch.ops import source_quota_sample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64),
+        "source": [s for s, _ in rows],
+        "w": np.array([w for _, w in rows], dtype=np.int64),
+    })
+    out = source_quota_sample(
+        rd.from_pandas(df).repartition(parts), budgets,
+        weight_col="w").to_pandas()
+    # Ray 2.49 drops ALL columns from an empty to_pandas() frame
+    got = sorted(out["doc_id"]) if len(out) else []
+    exp = []
+    for s, g in df.groupby("source"):
+        b = budgets.get(s)
+        if b is None:
+            exp += g["doc_id"].tolist()
+            continue
+        if b == 0:  # documented: budget 0 drops the source (like quota 0)
+            continue
+        g = g.assign(h=hash_i64(g["doc_id"].to_numpy())).sort_values("h")
+        exp += g.loc[g["w"].cumsum() <= b, "doc_id"].tolist()
+    assert got == sorted(exp)
