@@ -144,6 +144,15 @@ def main(argv=None) -> int:
                          "gated corpus_curation threshold)")
     cu.set_defaults(fn=cmd_curate)
 
+    mx = sub.add_parser("mix", help="materialize a data-mixing recipe "
+                                    "(quota -> repeat -> epoch shuffle)")
+    mx.add_argument("input", help="documents parquet path, sf dir, or "
+                                  ".jsonl[.gz]")
+    mx.add_argument("output", help="output dir")
+    mx.add_argument("config", help="JSON recipe: quotas/weight_col/"
+                                   "repeats/epoch/seed/shuffle/format")
+    mx.set_defaults(fn=cmd_mix)
+
     pl = sub.add_parser("plots",
                         help="gnuplot bundle from experiment results "
                              "(gnuplot_generator.py analogue)")
@@ -237,6 +246,72 @@ def cmd_curate(args) -> int:
                     partitioning="hive").count_rows()
     print(json.dumps({"written_rows": int(n), "output": args.output,
                       "min_quality_e6": min_q6}), file=_OUT)
+    return 0
+
+
+def cmd_mix(args) -> int:
+    """Materialize a DATA-MIXING recipe over a documents corpus:
+    per-source quota downsampling (document counts or token budgets) →
+    fractional repeat upsampling (replica-epoch tagged) → a
+    deterministic replayable epoch shuffle → parquet or JSONL output.
+    Config JSON mirrors the experiment config discipline: unknown keys
+    are rejected so a recipe can never silently no-op. When repeats are
+    active the shuffle salts on the replica epoch, so upsampled copies
+    spread through the epoch instead of riding adjacent."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .ops import epoch_shuffle, source_quota_sample, source_repeat
+    from .sources import read_documents_jsonl, write_documents_jsonl
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+    allowed = {"quotas", "weight_col", "repeats", "epoch", "seed",
+               "shuffle", "format"}
+    unknown = set(cfg) - allowed
+    if unknown:
+        raise SystemExit(f"unknown mix config keys: {sorted(unknown)} "
+                         f"(allowed: {sorted(allowed)})")
+    shuffle = cfg.get("shuffle", "global")
+    if shuffle not in ("global", "blocks", "none"):
+        raise SystemExit("shuffle must be 'global', 'blocks' or 'none'")
+    fmt = cfg.get("format", "parquet")
+    if fmt not in ("parquet", "jsonl"):
+        raise SystemExit("format must be 'parquet' or 'jsonl'")
+    seed = int(cfg.get("seed", 0))
+
+    inp = args.input
+    if os.path.isdir(inp) and os.path.exists(
+            os.path.join(inp, "documents.parquet")):
+        inp = os.path.join(inp, "documents.parquet")
+    ds = (read_documents_jsonl(inp) if ".jsonl" in inp
+          else rd.read_parquet(inp))
+
+    salt = None
+    if cfg.get("quotas"):
+        ds = source_quota_sample(ds, cfg["quotas"], seed=seed,
+                                 weight_col=cfg.get("weight_col"))
+    if cfg.get("repeats"):
+        ds = source_repeat(ds, cfg["repeats"], seed=seed)
+        salt = "epoch"
+    if shuffle != "none":
+        ds = epoch_shuffle(ds, int(cfg.get("epoch", 0)), seed=seed,
+                           scope=shuffle, salt_col=salt)
+
+    # one execution: count and write from the same materialized blocks
+    mat = ds.materialize()
+    n = mat.count()
+    if fmt == "jsonl":
+        write_documents_jsonl(mat, args.output)
+    elif shuffle == "none":
+        # unshuffled corpora keep the resumable hive layout; a shuffled
+        # one must not re-group by source (order is the point)
+        mat.write_parquet(args.output, partition_cols=["source"])
+    else:
+        mat.write_parquet(args.output)
+    print(json.dumps({"rows_out": int(n), "output": args.output,
+                      "format": fmt, "shuffle": shuffle,
+                      "epoch": int(cfg.get("epoch", 0))}), file=_OUT)
     return 0
 
 

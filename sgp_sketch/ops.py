@@ -724,7 +724,8 @@ def source_repeat(ds, factors: dict, *, key_col: str = "source",
 
 
 def epoch_shuffle(ds, epoch: int = 0, *, id_col: str = "doc_id",
-                  seed: int = 0x5EED, scope: str = "global"):
+                  seed: int = 0x5EED, scope: str = "global",
+                  salt_col: str | None = None):
     """Deterministic, layout-independent per-epoch corpus shuffle for
     training-data delivery: each epoch streams the corpus in a different
     but exactly reproducible order. The sort key is ``hash_i64/hash_str``
@@ -740,8 +741,12 @@ def epoch_shuffle(ds, epoch: int = 0, *, id_col: str = "doc_id",
     integer ids never tie (splitmix64 is a bijection per mix); string
     ids tie only on a 64-bit SipHash collision. Rows SHARING an id hash
     equal, so their relative order is the one case that stays
-    layout-dependent — shuffle after dedup / id assignment, or pick an
-    ``id_col`` that is unique.
+    layout-dependent — shuffle after dedup / id assignment, pick an
+    ``id_col`` that is unique, or pass ``salt_col`` (e.g. the replica
+    ``epoch`` column ``source_repeat`` writes): the key becomes
+    splitmix64(hash(id) ^ hash(salt)), so (id, salt)-distinct rows get
+    distinct keys and upsampled copies SPREAD through the epoch instead
+    of riding adjacent.
 
     ``scope="blocks"``: the cheap approximate path — seeded
     ``randomize_block_order`` plus the same deterministic hash-argsort
@@ -749,17 +754,23 @@ def epoch_shuffle(ds, epoch: int = 0, *, id_col: str = "doc_id",
     leave their block), and the order is reproducible only for a fixed
     block layout — the documented trade for zero movement at 100 TB.
     """
-    from .hashing import hash_i64, hash_str
+    from .hashing import hash_i64, hash_str, splitmix64
 
     if scope not in ("global", "blocks"):
         raise ValueError(f"scope must be 'global' or 'blocks', got {scope!r}")
     mix = ((int(seed) & 0xFFFFFFFFFFFFFFFF) * 1_000_003 + int(epoch) + 1) \
         & 0xFFFFFFFFFFFFFFFF
 
+    def _col_hash(t: pa.Table, col: str) -> np.ndarray:
+        v = t[col].to_numpy(zero_copy_only=False)
+        return (hash_i64(v, seed=mix) if v.dtype.kind in "iu"
+                else hash_str(v, seed=mix))
+
     def _hash(t: pa.Table) -> np.ndarray:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        return (hash_i64(ids, seed=mix) if ids.dtype.kind in "iu"
-                else hash_str(ids, seed=mix))
+        h = _col_hash(t, id_col)
+        if salt_col is not None:
+            h = splitmix64(h ^ _col_hash(t, salt_col))
+        return h
 
     if scope == "blocks":
         def _perm(t: pa.Table) -> pa.Table:

@@ -342,6 +342,47 @@ def test_curate_cli_writes_oracle_matched_partitions(sf_small, tmp_path):
     assert len(parts) > 1  # hive-partitioned by source
 
 
+def test_mix_cli_materializes_recipe(sf_small, tmp_path):
+    """CLI mix in a SUBPROCESS: quota caps exact, repeat structure
+    (floor copies + fractional epoch), shuffled parquet output."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    cfg = tmp_path / "mix.json"
+    cfg.write_text(_json.dumps({
+        "quotas": {"src0": 10, "src1": 5}, "repeats": {"src2": 2.5},
+        "epoch": 1, "seed": 7, "shuffle": "global"}))
+    out_dir = str(tmp_path / "mixed")
+    r = subprocess.run(
+        [sys.executable, "-m", "sgp_sketch.cli", "--num-cpus", "4",
+         "mix", sf_small, out_dir, str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env={**__import__("os").environ, "RAY_ADDRESS": ""})
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = _json.loads(r.stdout.strip().splitlines()[-1])
+    con = duckdb.connect()
+    stats = {s: (n, d) for s, n, d in con.execute(
+        f"select source, count(*), count(distinct doc_id) "
+        f"from read_parquet('{out_dir}/*.parquet') group by source"
+    ).fetchall()}
+    assert stats["src0"] == (10, 10) and stats["src1"] == (5, 5)
+    n2, d2 = stats["src2"]
+    assert d2 == 25 and 2 * d2 <= n2 <= 3 * d2  # 2.5x: 2 full + frac
+    assert info["rows_out"] == sum(n for n, _ in stats.values())
+    # unknown config keys are rejected, not silently ignored
+    bad = tmp_path / "bad.json"
+    bad.write_text(_json.dumps({"quota": {"src0": 1}}))
+    r2 = subprocess.run(
+        [sys.executable, "-m", "sgp_sketch.cli", "mix", sf_small,
+         str(tmp_path / "x"), str(bad)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+        env={**__import__("os").environ, "RAY_ADDRESS": ""})
+    assert r2.returncode != 0 and "unknown mix config keys" in r2.stderr
+
+
 def test_curation_bloom_drop_path_matches_exact():
     """Forcing the Bloom drop-set path (exact_max=0) with a deliberately
     tiny filter (high FPR -> many confirm-join positives) must keep
@@ -972,3 +1013,27 @@ class TestEpochShuffle:
 
         with pytest.raises(ValueError, match="scope"):
             epoch_shuffle(self._docs(), scope="banana")
+
+    def test_salt_col_spreads_replicas(self):
+        import ray.data as rd
+
+        from sgp_sketch.ops import epoch_shuffle
+
+        n = 60
+        df = pd.DataFrame({  # two replicas of every doc, epoch-tagged
+            "doc_id": np.repeat(np.arange(n, dtype=np.int64), 2),
+            "epoch": np.tile(np.array([0, 1], dtype=np.int64), n),
+        })
+        o1 = epoch_shuffle(rd.from_pandas(df).repartition(4),
+                           salt_col="epoch").to_pandas()
+        o2 = epoch_shuffle(rd.from_pandas(df).repartition(1),
+                           salt_col="epoch").to_pandas()
+        # (id, salt) keys are unique -> fully deterministic even with
+        # duplicate ids, layout-invariant
+        assert list(map(tuple, o1.to_numpy())) == \
+            list(map(tuple, o2.to_numpy()))
+        # replicas spread: most copies are NOT adjacent to their twin
+        pos = o1.reset_index(drop=True)
+        adjacent = (pos["doc_id"].to_numpy()[1:]
+                    == pos["doc_id"].to_numpy()[:-1]).sum()
+        assert adjacent < n // 4
