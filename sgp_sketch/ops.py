@@ -537,7 +537,9 @@ def source_quota_sample(ds, quotas: dict, *, key_col: str = "source",
     within ``quotas[s]`` — so the kept set never exceeds the budget,
     is still exact and layout-independent, and the batch combiner's
     prune stays valid (a row whose own batch already exceeds the budget
-    before it can never be under the global threshold). A budget of 0
+    before it can never be under the global threshold; the first
+    overshooter per batch rides along as a blocker so the fold's
+    cumsum never undercounts the mass below a candidate hash). A budget of 0
     drops the source entirely, exactly like a count quota of 0 (the
     one divergence from a literal ``running_weight <= budget`` rule,
     which would keep zero-weight docs under a zero budget).
@@ -577,10 +579,16 @@ def source_quota_sample(ds, quotas: dict, *, key_col: str = "source",
                 # budget prune: keep rows in hash order while the
                 # inclusive running weight fits the budget — a row whose
                 # OWN batch already overshoots before it cannot rank
-                # under the global threshold either
+                # under the global threshold either. The FIRST
+                # overshooting row must still ride along as a blocker:
+                # its weight mass is what tells the fold that every
+                # larger hash is over budget too (without it the fold's
+                # cumsum undercounts and readmits dropped rows — e.g. a
+                # zero-weight doc hashed just above a heavy blocker)
                 order = np.argsort(h)
                 w = w_all[m][order]
                 k = int(np.searchsorted(np.cumsum(w), q, side="right"))
+                k = min(k + 1, len(w))
                 h = h[order[:k]]
                 ws.append(w[:k])
             elif len(h) > q:

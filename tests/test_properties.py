@@ -3,7 +3,7 @@ serialization round-trips under arbitrary data splits (SURVEY.md §5
 "Merge-associativity / commutativity property tests")."""
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from sgp_sketch.sketches import (
     BlockedBloomFilter,
@@ -208,6 +208,10 @@ mix_budgets = st.dictionaries(st.sampled_from(["a", "b", "c"]),
 
 @settings(max_examples=8, deadline=None)
 @given(mix_rows, mix_budgets, st.integers(min_value=1, max_value=5))
+# a heavy blocker isolated in its own block: the batch prune drops it,
+# and without the blocker riding to the fold the threshold readmits it
+# AND the zero-weight doc hashed above it (found by hypothesis)
+@example(rows=[("a", 0), ("a", 2)], budgets={"a": 1}, parts=2)
 def test_weighted_quota_matches_bruteforce(rows, budgets, parts):
     """source_quota_sample(weight_col=...) == per-source keep-in-hash-order
     brute force, for arbitrary sources/weights (incl. zero), budgets
