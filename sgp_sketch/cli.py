@@ -171,18 +171,25 @@ def main(argv=None) -> int:
     import os as _os
 
     global _OUT
-    _OUT = _os.fdopen(_os.dup(1), "w")
+    saved = _os.fdopen(_os.dup(1), "w")
+    _OUT = saved
     _os.dup2(2, 1)  # sys.stdout (and Ray's log monitor) now hit stderr
     try:
         rc = args.fn(args)
     finally:
-        _OUT.flush()
+        saved.flush()
         # shutdown must run on the ERROR path too: an in-process caller
         # (tests) would otherwise leak the Ray session and its CPU slots
         import ray
 
         if ray.is_initialized():
             ray.shutdown()
+        # restore fd 1 and drop the dup so main() is re-entrant: a
+        # second in-process call would otherwise dup STDERR as its
+        # "real stdout" and leak one fd per call
+        _os.dup2(saved.fileno(), 1)
+        _OUT = sys.stdout
+        saved.close()
     return rc
 
 
@@ -198,9 +205,13 @@ def cmd_plots(args) -> int:
     ``gnuplot <name>.gnu``."""
     from .plots import concurrent_plot_bundle, experiment_plot_bundle
 
-    with open(args.results) as f:
-        records = json.load(f)
     try:
+        # inside the try: a missing or non-JSON results file is the
+        # same class of bad input as an empty record list and must use
+        # the same error contract (JSON on _OUT + exit 2), not a raw
+        # traceback
+        with open(args.results) as f:
+            records = json.load(f)
         if isinstance(records, dict):
             if "levels" not in records:
                 raise ValueError("dict input has no 'levels' key "
@@ -208,7 +219,7 @@ def cmd_plots(args) -> int:
             written = concurrent_plot_bundle(records["levels"], args.outdir)
         else:
             written = experiment_plot_bundle(records, args.outdir)
-    except ValueError as e:
+    except (OSError, ValueError) as e:  # JSONDecodeError is a ValueError
         print(json.dumps({"error": str(e)}), file=_OUT)
         return 2
     print(json.dumps({"written": written}), file=_OUT)
@@ -284,7 +295,10 @@ def cmd_mix(args) -> int:
     if os.path.isdir(inp) and os.path.exists(
             os.path.join(inp, "documents.parquet")):
         inp = os.path.join(inp, "documents.parquet")
-    ds = (read_documents_jsonl(inp) if ".jsonl" in inp
+    # route on the SUFFIX, not a substring — a parquet path that merely
+    # contains ".jsonl" (backup dirs, doubled extensions) is parquet
+    ds = (read_documents_jsonl(inp)
+          if inp.endswith((".jsonl", ".jsonl.gz"))
           else rd.read_parquet(inp))
 
     salt = None
@@ -302,7 +316,11 @@ def cmd_mix(args) -> int:
     mat = ds.materialize()
     n = mat.count()
     if fmt == "jsonl":
-        write_documents_jsonl(mat, args.output)
+        # keep the replica tag: without it upsampled copies export as
+        # byte-identical lines and downstream exact-dedup silently
+        # undoes the configured mixing ratio
+        write_documents_jsonl(mat, args.output,
+                              keep_extra=("epoch",) if salt else ())
     elif shuffle == "none":
         # unshuffled corpora keep the resumable hive layout; a shuffled
         # one must not re-group by source (order is the point)

@@ -55,10 +55,19 @@ def explode_words(ds, text_col: str = "text", keep: tuple = ("source",)):
     """
 
     def _explode(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch[text_col].combine_chunks()
-                                 if isinstance(batch[text_col], pa.ChunkedArray)
-                                 else batch[text_col], " ")
-        lens = words.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if pa.types.is_null(text.type):
+            # an all-null block infers Arrow `null` (no split kernel);
+            # cast to the string type the non-degenerate blocks carry
+            text = text.cast(pa.string())
+        words = pc.split_pattern(text, " ")
+        # a null text splits to a null LIST: flatten() skips it, so its
+        # length must count as 0 (value_lengths yields null -> NaN ->
+        # INT64_MIN after astype, and np.repeat rejects negatives)
+        lens = (pc.fill_null(words.value_lengths(), 0)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
         cols = {"word": words.flatten()}
         for c in keep:
             col = batch[c]
@@ -125,6 +134,19 @@ def topk_words(ds, k: int = 20, text_col: str = "text"):
     return top
 
 
+def _disc_rank(q: float, n: int) -> int:
+    """0-based ``quantile_disc`` rank ceil(q*n)-1, computed exactly.
+
+    ``repr(q)`` is the shortest decimal that round-trips to ``q`` — the
+    same literal our generated SQL embeds, which DuckDB parses as an
+    exact DECIMAL — so ``Fraction(repr(q))`` reproduces DuckDB's rank
+    bit-for-bit where the float product can be an epsilon off."""
+    import math
+    from fractions import Fraction
+
+    return math.ceil(Fraction(repr(q)) * n) - 1
+
+
 def exact_discrete_quantiles(ds, value_col: str, qs: list[float]) -> pd.DataFrame:
     """Exact discrete quantiles (DuckDB quantile_disc / numpy 'lower') via a
     distributed value-counts histogram.
@@ -158,8 +180,11 @@ def exact_discrete_quantiles(ds, value_col: str, qs: list[float]) -> pd.DataFram
         # DuckDB quantile_disc rank: smallest element whose CDF >= q,
         # i.e. 0-based index ceil(q*n)-1 (NOT numpy 'lower' floor(q*(n-1))
         # — the two coincide only when q*n is integral, which masked the
-        # difference until a 250-rows-per-group case at sf0.1)
-        idx = max(int(np.ceil(q * n)) - 1, 0)
+        # difference until a 250-rows-per-group case at sf0.1). The ceil
+        # must be EXACT-RATIONAL: DuckDB parses the q literal as DECIMAL,
+        # so e.g. q=0.07, n=100 ranks at ceil(7)-1=6 while the float
+        # product 7.000000000000001 would ceil to 7 — one row off.
+        idx = max(_disc_rank(q, n), 0)
         out.append(values[int(np.searchsorted(cum, idx + 1))])
     return pd.DataFrame({"q": qs, "value": out})
 
@@ -333,6 +358,11 @@ def interval_join(left, right, *, key: str, left_t: str, right_key: str,
         return t.append_column("__cell", pa.array(cell.astype("int64")))
 
     def _right_cells(t: pa.Table) -> pa.Table:
+        if not len(t):
+            # the starts/offset idiom below is not empty-safe
+            # (np.repeat of a length-1 starts array against length-0
+            # reps raises); emit the schema-consistent empty block
+            return t.append_column("__cell", pa.array([], pa.int64()))
         lo = _us(t[right_start])
         hi = _us(t[right_end])
         c0 = lo // grid_us
@@ -700,6 +730,13 @@ def source_repeat(ds, factors: dict, *, key_col: str = "source",
 
     def _expand(t: pa.Table) -> pa.Table:
         _check_epoch_col(t)
+        if not len(t):
+            # empty blocks reach map UDFs (an upstream quota-0 filter
+            # empties a source's blocks); the epoch-offset np.repeat
+            # below is not empty-safe, so short-circuit with the
+            # schema-consistent empty block
+            return (t if epoch_col is None else
+                    t.append_column(epoch_col, pa.array([], pa.int64())))
         src = t[key_col].to_numpy(zero_copy_only=False)
         reps = np.ones(len(src), dtype=np.int64)
         h = None

@@ -17,6 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from .ops import _disc_rank as _ops_disc_rank
 from .ops import drop_empty_blocks, join_partitions
 from .pipeline import SCOPE_GLOBAL, build_sketches
 from .schema import tokens_dataset
@@ -2201,8 +2202,9 @@ def ntok_quantiles_per_source(sf_dir: str):
         cum = np.cumsum(g["sum(cnt)"].to_numpy())
         n = int(cum[-1])
         for q in _PS_QS:
-            # quantile_disc rank = ceil(q*n)-1 (see ops.exact_discrete_quantiles)
-            idx = max(int(np.ceil(q * n)) - 1, 0)
+            # quantile_disc rank = ceil(q*n)-1, EXACT-rational (DuckDB's q
+            # literal is DECIMAL; see ops._disc_rank for the epsilon case)
+            idx = max(_ops_disc_rank(q, n), 0)
             rows.append({"source": src, "q": q,
                          "value": int(values[np.searchsorted(cum, idx + 1)])})
     return pd.DataFrame(rows)

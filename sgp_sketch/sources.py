@@ -211,25 +211,35 @@ def partition_graph_stream(adj_ds, k: int, algorithm: str = "ldg", *,
     # vary run-to-run, breaking the seeded-determinism goal (SURVEY §2.6 O4).
     import ray.data as rd
 
-    rd.DataContext.get_current().execution_options.preserve_order = True
+    opts = rd.DataContext.get_current().execution_options
+    prev_order = opts.preserve_order
+    opts.preserve_order = True
 
-    if total_vertices is None:
-        # pin first: count() would execute the (possibly groupby-built)
-        # adjacency lineage once and the iter_batches stream below again
-        adj_ds = adj_ds.materialize()
-        total_vertices = adj_ds.count()
-    sp = StreamingPartitioner(
-        k, algorithm, total_load=float(total_vertices),
-        total_edges=float(total_edges) if total_edges else None,
-        balance_slack=balance_slack, seed=seed,
-    )
-    out_v, out_p = [], []
-    for batch in adj_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        verts = batch["vertex"].to_pylist()
-        nbrs = batch["neighbors"].to_pylist()
-        for v, nb in zip(verts, nbrs):
-            out_v.append(v)
-            out_p.append(sp.assign(v, neighbors=nb))
+    try:
+        if total_vertices is None:
+            # pin first: count() would execute the (possibly
+            # groupby-built) adjacency lineage once and the iter_batches
+            # stream below again
+            adj_ds = adj_ds.materialize()
+            total_vertices = adj_ds.count()
+        sp = StreamingPartitioner(
+            k, algorithm, total_load=float(total_vertices),
+            total_edges=float(total_edges) if total_edges else None,
+            balance_slack=balance_slack, seed=seed,
+        )
+        out_v, out_p = [], []
+        for batch in adj_ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=4096):
+            verts = batch["vertex"].to_pylist()
+            nbrs = batch["neighbors"].to_pylist()
+            for v, nb in zip(verts, nbrs):
+                out_v.append(v)
+                out_p.append(sp.assign(v, neighbors=nb))
+    finally:
+        # the flag is session-GLOBAL: leaving it on would quietly
+        # disable out-of-order streaming for every later pipeline in
+        # the process (a hidden throughput tax on unrelated shuffles)
+        opts.preserve_order = prev_order
     pm = pd.DataFrame({"vertex": out_v, "partition": np.array(out_p, dtype=np.int32)})
     return pm, sp.metrics()
 
@@ -255,16 +265,24 @@ def assign_dense_ids(adj_ds) -> pd.DataFrame:
     """
     import ray.data as rd
 
-    rd.DataContext.get_current().execution_options.preserve_order = True
-    verts = adj_ds.select_columns(["vertex"]).sort("vertex")
-    out_v: list = []
-    next_id = 1
-    out_ids: list = []
-    for b in verts.iter_batches(batch_format="pyarrow", batch_size=65536):
-        vs = b["vertex"].to_pylist()
-        out_v.extend(vs)
-        out_ids.extend(range(next_id, next_id + len(vs)))
-        next_id += len(vs)
+    opts = rd.DataContext.get_current().execution_options
+    prev_order = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        verts = adj_ds.select_columns(["vertex"]).sort("vertex")
+        out_v: list = []
+        next_id = 1
+        out_ids: list = []
+        for b in verts.iter_batches(batch_format="pyarrow",
+                                    batch_size=65536):
+            vs = b["vertex"].to_pylist()
+            out_v.extend(vs)
+            out_ids.extend(range(next_id, next_id + len(vs)))
+            next_id += len(vs)
+    finally:
+        # session-global flag — restore so later pipelines keep
+        # out-of-order streaming (see partition_graph_stream)
+        opts.preserve_order = prev_order
     return pd.DataFrame({"vertex": out_v,
                          "dense_id": np.array(out_ids, dtype=np.int64)})
 
@@ -425,14 +443,18 @@ def read_documents_jsonl(path: str):
                                           batch_format="pyarrow")
 
 
-def conform_documents_batch(batch: pa.Table) -> pa.Table:
+def conform_documents_batch(batch: pa.Table,
+                            keep_extra: tuple = ()) -> pa.Table:
     """Conform an arbitrary-schema batch to ``DOCUMENTS_SCHEMA``: required
     ``doc_id``/``text``/``source`` fail loudly when absent, ``lang``
     defaults to null, ``n_chars`` derives from ``text`` per-VALUE (JSON
     readers unify the file's schema, so a row missing n_chars arrives as
     a null in an existing column — derive exactly those), unknown extra
-    columns are dropped. Shared by the JSONL reader and writer so both
-    directions of the interchange agree on the canonical shape."""
+    columns are dropped — except the ones named in ``keep_extra``, which
+    ride through verbatim after the canonical columns (e.g. the replica
+    ``epoch`` tag an upsampled mix must not lose). Shared by the JSONL
+    reader and writer so both directions of the interchange agree on the
+    canonical shape."""
     names = set(batch.schema.names)
     missing = {"doc_id", "text", "source"} - names
     if missing:
@@ -453,18 +475,28 @@ def conform_documents_batch(batch: pa.Table) -> pa.Table:
                     if "n_chars" in names
                     else pc.cast(pc.utf8_length(text), pa.int64())),
     }
-    return pa.Table.from_arrays(list(cols.values()),
-                                schema=DOCUMENTS_SCHEMA)
+    out = pa.Table.from_arrays(list(cols.values()),
+                               schema=DOCUMENTS_SCHEMA)
+    for c in keep_extra:
+        if c in names:
+            col = batch[c]
+            out = out.append_column(
+                c, col.combine_chunks()
+                if isinstance(col, pa.ChunkedArray) else col)
+    return out
 
 
-def write_documents_jsonl(ds, path: str) -> None:
+def write_documents_jsonl(ds, path: str, *, keep_extra: tuple = ()) -> None:
     """Documents Dataset -> one-JSON-object-per-line files under ``path``
     — the sink counterpart of ``read_documents_jsonl`` (round-trip pinned
     by test), so curated/filtered corpora export in the interchange
     format other systems ingest. Columns are conformed to
     ``DOCUMENTS_SCHEMA`` first (pipeline outputs often carry extra score/
-    flag columns; a corpus missing a required column fails loudly).
+    flag columns; a corpus missing a required column fails loudly) —
+    pass ``keep_extra`` to carry named extras through, e.g. the replica
+    ``epoch`` tag, without which an upsampled mix exports byte-identical
+    duplicate lines that downstream exact-dedup silently collapses.
     ``Dataset.write_json`` streams one file per block — a partitioned,
     resumable layout, never one giant file."""
-    ds.map_batches(conform_documents_batch,
+    ds.map_batches(lambda t: conform_documents_batch(t, keep_extra),
                    batch_format="pyarrow").write_json(path)

@@ -33,10 +33,16 @@ def _split_words(text) -> tuple[pa.Array, np.ndarray, np.ndarray, pa.Array]:
 
     ``split_pattern`` never emits an empty list for a non-null string (the
     empty string splits to [""]), so every reduceat segment is non-empty.
+    Null texts are treated as the empty string for the same reason — a
+    null LIST would poison lens (NaN -> INT64_MIN) and zero-length
+    segments would make reduceat return a neighbor's value.
     """
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
-    words = pc.split_pattern(text, " ")
+    if pa.types.is_null(text.type):
+        # an all-null block infers Arrow `null` (no split kernel)
+        text = text.cast(pa.string())
+    words = pc.split_pattern(pc.fill_null(text, ""), " ")
     lens = words.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = np.concatenate(([0], np.cumsum(lens)))[:-1].astype(np.int64)
     return words, lens, offsets, words.flatten()

@@ -377,3 +377,53 @@ def test_hdrf_query_invariants(sf_small):
                           np.sort(events["event_id"].to_numpy()))
     assert df["partition_id"].between(0, 7).all()
     assert hdrf_user_event_graph(sf_small).equals(df)
+
+
+# --- exact-rational quantile_disc rank ----------------------------------
+
+def test_disc_rank_matches_duckdb_decimal_semantics():
+    # DuckDB parses the q literal as DECIMAL, so at q=0.07, n=100 the
+    # rank is ceil(7)-1 = 6 even though the float product is
+    # 7.000000000000001 (which would ceil to 7 — one row off).
+    import duckdb
+
+    from sgp_sketch.ops import _disc_rank
+
+    for q, n in [(0.07, 100), (0.55, 100), (0.14, 50), (0.17, 300),
+                 (0.25, 8), (0.5, 7), (0.9, 10), (0.07, 99)]:
+        (want,) = duckdb.sql(
+            f"SELECT quantile_disc(x, {q!r}) FROM range(1, {n + 1}) t(x)"
+        ).fetchone()
+        assert _disc_rank(q, n) == want - 1, (q, n)
+
+
+def test_exact_discrete_quantiles_epsilon_rank(ray_session):
+    import ray.data as rd
+
+    from sgp_sketch.ops import exact_discrete_quantiles
+
+    df = pd.DataFrame({"v": np.arange(1, 101, dtype=np.int64)})
+    out = exact_discrete_quantiles(rd.from_pandas(df), "v", [0.07, 0.55])
+    assert out["value"].tolist() == [7, 55]
+
+
+def test_split_words_null_typed_block():
+    # an all-null single-row block infers Arrow `null` type for text;
+    # _split_words must cast (split_pattern has no null kernel)
+    from sgp_sketch.text import _split_words
+
+    w, lens, off, flat = _split_words(pa.array([None, None]))
+    assert lens.tolist() == [1, 1]  # null -> "" -> [""]
+    assert flat.to_pylist() == ["", ""]
+
+
+def test_explode_words_null_text_rows(ray_session):
+    import ray.data as rd
+
+    from sgp_sketch.ops import explode_words
+
+    ds = rd.from_items([{"text": "a b", "source": "s"},
+                        {"text": None, "source": "s"}])
+    out = explode_words(ds).to_pandas()
+    # null text contributes ZERO rows (DuckDB unnest of NULL list)
+    assert sorted(out["word"]) == ["a", "b"]
