@@ -42,7 +42,10 @@ def _split_words(text) -> tuple[pa.Array, np.ndarray, np.ndarray, pa.Array]:
     if pa.types.is_null(text.type):
         # an all-null block infers Arrow `null` (no split kernel)
         text = text.cast(pa.string())
-    words = pc.split_pattern(pc.fill_null(text, ""), " ")
+    if text.null_count:
+        # hot path: fill only when nulls exist (fill_null may copy)
+        text = pc.fill_null(text, "")
+    words = pc.split_pattern(text, " ")
     lens = words.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = np.concatenate(([0], np.cumsum(lens)))[:-1].astype(np.int64)
     return words, lens, offsets, words.flatten()
