@@ -441,11 +441,14 @@ def _make_shard_class():
                     cand = np.asarray(lab_q,
                                       dtype=np.int64)[self.dst_slot[m]]
                     tgt = self.src_local[m]
-                    old = self.labels.copy()
+                    # gather-before/after on the TARGETED slots only (the
+                    # cc_gather_serve pattern): a full labels.copy() per
+                    # sender shard is k extra O(n) passes per round
+                    old = self.labels[tgt]
                     np.minimum.at(self.labels, tgt, cand)
-                    imp = self.labels < old
+                    imp = self.labels[tgt] < old
                     if imp.any():
-                        self.changed |= imp
+                        self.changed[tgt[imp]] = True
                         imp_any = True
             return tuple([imp_any] + list(self._halving_requests()))
 
