@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .hashing import hash_str, splitmix64
-from .ops import drop_empty_blocks, join_partitions
+from .ops import drop_empty_blocks, join_partitions, round_half_away
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -489,15 +489,27 @@ def minhash_lsh_pipeline(
             .groupby("ckey").map_groups(_tiles_group, batch_format="pandas")
         # both map_groups outputs can carry schema-less empty shuffle
         # partitions that flake the downstream joins — scrub at the
-        # block-ref level (ops.drop_empty_blocks docstring)
-        tiles = drop_empty_blocks(tiles)
-        # sig_tbl is the MATERIALIZED signature table computed once at the
-        # top of the pipeline — no second shingling pass over the corpus
-        with_sig = tiles.join(
-            sig_tbl, join_type="inner", num_partitions=join_partitions(),
-            on=("vertex",))
-        cand = drop_empty_blocks(with_sig.groupby("tkey").map_groups(
-            _expand_tiles, batch_format="pandas"))
+        # block-ref level (ops.drop_empty_blocks docstring). schema= is
+        # required: with EVERY block empty the scrub would otherwise
+        # return the schema-less blocks unchanged and the joins flake
+        tiles = drop_empty_blocks(tiles, schema=pa.schema(
+            [(c, pa.int64()) for c in
+             ("vertex", "component", "chunk", "ci", "cj", "tkey")]))
+        if tiles.count() == 0:
+            # zero tiles: skip the join — Ray's hash-shuffle join crashes
+            # on a fully-empty side (schema-less aggregator partition)
+            cand = _rd.from_pandas(_empty_pairs())
+        else:
+            # sig_tbl is the MATERIALIZED signature table computed once
+            # at the top of the pipeline — no second shingling pass
+            with_sig = tiles.join(
+                sig_tbl, join_type="inner",
+                num_partitions=join_partitions(), on=("vertex",))
+            cand = drop_empty_blocks(
+                with_sig.groupby("tkey").map_groups(
+                    _expand_tiles, batch_format="pandas"),
+                schema=pa.schema([("doc_a", pa.int64()),
+                                  ("doc_b", pa.int64())]))
 
     if verify_mode == "join":
         return _verify_pairs_join(ds, cand, jaccard_threshold, doc_col,
@@ -526,7 +538,7 @@ def minhash_lsh_pipeline(
             jac[i] = inter / (len(sa) + len(sb) - inter)
         out = batch.copy()
         keep = jac >= jaccard_threshold  # filter on RAW values (SQL parity)
-        out["jaccard"] = jac.round(6)
+        out["jaccard"] = round_half_away(jac, 6)
         return out[keep]
 
     return cand.map_batches(verify, batch_format="pandas")
@@ -564,7 +576,7 @@ def jaccard_pairs_exact(
                 if j >= threshold:
                     rows_a.append(did)
                     rows_b.append(other)
-                    jac.append(round(j, 6))
+                    jac.append(float(round_half_away(j, 6)))
         return pd.DataFrame({"doc_a": pd.Series(rows_a, dtype="int64"),
                              "doc_b": pd.Series(rows_b, dtype="int64"),
                              "jaccard": pd.Series(jac, dtype="float64")})
@@ -697,6 +709,16 @@ def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
     # to one block per CPU was measured neutral at sf0.1 — the verify
     # stage is aggregator-bound, not map-fan-out-bound.)
     cand = cand.materialize()
+    if cand.count() == 0:
+        # Ray's hash-shuffle join crashes when a side contributes ZERO
+        # rows (the aggregator builds a schema-less left partition —
+        # 'No match for FieldRef doc'); no candidates also means no work
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
 
     # explicit Arrow schema: empty object-dtype byte columns would infer
     # as Arrow `null` and break the union/groupby schema merge
@@ -809,7 +831,7 @@ def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
         keep = jac >= threshold
         return pd.DataFrame({"doc_a": pr_a[keep].astype("int64"),
                              "doc_b": pr_b[keep].astype("int64"),
-                             "jaccard": jac[keep].round(6)})
+                             "jaccard": round_half_away(jac[keep], 6)})
 
     unioned = pair_rows.union(sig_rows)
     return unioned.groupby("vbucket").map_groups(verify_group,

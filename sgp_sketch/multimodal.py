@@ -337,8 +337,13 @@ class MediaDecoder:
             return np.abs(samples)
         if media_type == "video":
             frames = parse_y4m_frames(payload, max_frames=1)
-            if frames:
-                return frames[0].astype(np.float64).reshape(-1)
+            if frames is not None:
+                # valid Y4M: distinguish "decodable but zero frames"
+                # from "not Y4M" (frame_sample draws the same line)
+                if frames:
+                    return frames[0].astype(np.float64).reshape(-1)
+                raise ValueError("Y4M stream contains zero frames — "
+                                 "no pixels to extract features from")
             if self.av is not None:
                 with self.av.open(io.BytesIO(payload)) as container:
                     frame = next(container.decode(video=0))
@@ -435,7 +440,8 @@ def frame_sample(ds, every_n: int = 10, *, batch_size: int = 256,
             }
         )
 
-    return ds.map_batches(_sample, batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(_sample, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
 
 
 # -- perceptual-hash image dedup -------------------------------------------

@@ -19,6 +19,7 @@ import pyarrow.parquet as pq
 
 from .ops import _disc_rank as _ops_disc_rank
 from .ops import drop_empty_blocks, join_partitions
+from .ops import round_half_away as _round_ha
 from .pipeline import SCOPE_GLOBAL, build_sketches
 from .schema import tokens_dataset
 
@@ -132,7 +133,7 @@ def q1_lineitem_pricing(sf_dir: str):
     out["n_rows"] = out["n_rows"].astype("int64")
     for c, d in [("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2),
                  ("avg_disc", 6)]:
-        out[c] = out[c].round(d)
+        out[c] = _round_ha(out[c], d)
     return out
 
 
@@ -175,7 +176,7 @@ def revenue_by_nation(sf_dir: str):
                    Count(alias_name="n_orders"))
         .to_pandas()
     )
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = _round_ha(out["revenue"], 2)
     return out
 
 
@@ -220,7 +221,7 @@ def events_hourly(sf_dir: str):
         .dt.strftime("%Y-%m-%d %H:%M:%S")
     out = out.drop(columns=["hour_s"])
     out["n_events"] = out["n_events"].astype("int64")
-    out["sum_value"] = out["sum_value"].round(2)
+    out["sum_value"] = _round_ha(out["sum_value"], 2)
     return out[["event_type", "hour", "n_events", "sum_value"]]
 
 
@@ -256,7 +257,7 @@ def user_event_stats(sf_dir: str):
         .to_pandas()
     )
     out["n_events"] = out["n_events"].astype("int64")
-    out["sum_value"] = out["sum_value"].round(2)
+    out["sum_value"] = _round_ha(out["sum_value"], 2)
     return out
 
 
@@ -289,7 +290,7 @@ def parts_by_brand(sf_dir: str):
                    Min("min_size", alias_name="min_size"))
         .to_pandas()
     )
-    out["avg_price"] = (out["sum_price"] / out["n_parts"]).round(4)
+    out["avg_price"] = _round_ha(out["sum_price"] / out["n_parts"], 4)
     out = out.drop(columns=["sum_price"])
     out["n_parts"] = out["n_parts"].astype("int64")
     return out
@@ -333,7 +334,7 @@ def lineitem_shipped_revenue(sf_dir: str):
         .to_pandas()
     )
     out["n_rows"] = out["n_rows"].astype("int64")
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = _round_ha(out["revenue"], 2)
     return out
 
 
@@ -544,7 +545,7 @@ def embedding_label_norms(sf_dir: str):
                    Sum("sum_norm", alias_name="sum_norm"))
         .to_pandas()
     )
-    out["avg_norm"] = (out["sum_norm"] / out["n"]).round(4)
+    out["avg_norm"] = _round_ha(out["sum_norm"] / out["n"], 4)
     out = out.drop(columns=["sum_norm"])
     out["n"] = out["n"].astype("int64")
     return out
@@ -1019,7 +1020,7 @@ def order_lineitem_join(sf_dir: str):
         return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
                              "n_items": pd.Series([], dtype="int64"),
                              "revenue": pd.Series([], dtype="float64")})
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = _round_ha(out["revenue"], 2)
     return out
 
 
@@ -1073,7 +1074,7 @@ def events_sliding_window(sf_dir: str):
         .dt.strftime("%Y-%m-%d %H:%M:%S")
     out = out.drop(columns=["window_s"])
     out["n_events"] = out["n_events"].astype("int64")
-    out["sum_value"] = out["sum_value"].round(2)
+    out["sum_value"] = _round_ha(out["sum_value"], 2)
     return out[["event_type", "window_start", "n_events", "sum_value"]]
 
 
@@ -1413,7 +1414,7 @@ def pagerank_event_graph(sf_dir: str):
 
     edges = _event_graph_edges(sf_dir)
     out = pagerank(edges, iterations=20)
-    out["rank"] = out["rank"].round(9)
+    out["rank"] = _round_ha(out["rank"], 9)
     return out
 
 
@@ -2126,7 +2127,9 @@ def triangle_count(sf_dir: str):
             [pc.cast(t["user_id"], pa.int64()), k], names=["u", "k"])
         return out.group_by(["u", "k"]).aggregate([])  # in-batch distinct
 
-    uk = ds.map_batches(_uk, batch_format="pyarrow")
+    # pin: uk feeds BOTH sides of the self-join — lazy lineage would
+    # re-execute the read + distinct combiner once per consumer
+    uk = ds.map_batches(_uk, batch_format="pyarrow").materialize()
     uk2 = uk.map_batches(  # zero-copy Arrow rename (pure projection)
         lambda t: t.select(["u", "k"]).rename_columns(["v", "k2"]),
         batch_format="pyarrow")
@@ -2659,7 +2662,11 @@ def media_pipeline(sf_dir: str):
 
     feats = media_features_fake(sf_dir).to_pandas()
     frames = video_frame_sample(sf_dir).to_pandas()
-    phash = media_phash_dupes(sf_dir).to_pandas()
+    # empty-guard: a duplicate-free corpus leaves every phash group
+    # empty and Ray drops the schema (KeyError on the columns below)
+    phash = _typed_or(media_phash_dupes(sf_dir).to_pandas(),
+                      {"phash": "int64", "n_items": "int64",
+                       "canonical_id": "object"})
     real = media_features(synthesize_real_media_dataset(sf_dir),
                           mode="real").to_pandas()
     real_argmax = np.array(

@@ -427,3 +427,49 @@ def test_explode_words_null_text_rows(ray_session):
     out = explode_words(ds).to_pandas()
     # null text contributes ZERO rows (DuckDB unnest of NULL list)
     assert sorted(out["word"]) == ["a", "b"]
+
+
+def test_minhash_all_candidates_pruned_returns_empty(ray_session):
+    # mid-similarity corpus (~0.33 pairwise jaccard, 40 shared + 40
+    # unique words): band collisions occur but the minhash-estimate
+    # prefilter prunes every tile, leaving the candidate stream ALL
+    # empty — Ray's hash-shuffle join crashes on a fully-empty side
+    # (schema-less aggregator partition), so the pipeline must
+    # short-circuit, not join
+    import ray.data as rd
+
+    from sgp_sketch.dedup import minhash_lsh_pipeline
+
+    rng = np.random.default_rng(3)
+    pool = [f"shared{i}" for i in range(40)]
+    docs = []
+    for d in range(30):
+        words = pool + [f"u{d}_{i}" for i in range(40)]
+        rng.shuffle(words)
+        docs.append({"doc_id": d, "text": " ".join(words)})
+    ds = rd.from_pandas(pd.DataFrame(docs))
+    out = minhash_lsh_pipeline(ds, jaccard_threshold=0.95).to_pandas()
+    assert len(out) == 0
+    # empty results may be schema-less (Ray drops schema on all-empty
+    # map_groups output — consumers guard with _typed_or); when columns
+    # DO survive they must be the contract columns
+    if len(out.columns):
+        assert list(out.columns) == ["doc_a", "doc_b", "jaccard"]
+
+
+def test_round_half_away_matches_duckdb():
+    import duckdb
+
+    from sgp_sketch.ops import round_half_away
+
+    # 125/128 is an exact dyadic 6-decimal tie: np.round gives 0.976562
+    # (half-even), DuckDB gives 0.976563 (half-away)
+    assert float(round_half_away(125 / 128, 6)) == 0.976563
+    rng = np.random.default_rng(11)
+    for d in (2, 4, 6, 9):
+        vals = list(rng.normal(0, 100, 50)) + \
+            [(2 * k + 1) / (2 * 10 ** d) for k in rng.integers(0, 10 ** d, 10)]
+        for v in vals:
+            (want,) = duckdb.sql(
+                f"SELECT round(CAST({float(v)!r} AS DOUBLE), {d})").fetchone()
+            assert float(round_half_away(v, d)) == want, (v, d)
