@@ -49,3 +49,4 @@ from .ops import split_by_partition  # noqa: E402,F401
 from .vertexstate import ShardedGraph  # noqa: E402,F401
 from .ann import ann_query_table_topk  # noqa: E402,F401
 from .sources import read_documents_jsonl, write_documents_jsonl  # noqa: E402,F401
+from .multimodal import frame_sample, image_resize, media_features  # noqa: E402,F401

@@ -45,9 +45,9 @@ FEATURE_DIM = 16
 _RGB_W = np.array([0.299, 0.587, 0.114])
 
 
-def parse_pnm_gray(payload: bytes) -> np.ndarray | None:
-    """Decode a BINARY PNM image (P5 grayscale / P6 RGB) to a flat
-    grayscale float array — a real, pure-stdlib image codec for the
+def parse_pnm_gray2d(payload: bytes) -> np.ndarray | None:
+    """Decode a BINARY PNM image (P5 grayscale / P6 RGB) to an (h, w)
+    grayscale float grid — a real, pure-stdlib image codec for the
     environments where Pillow is absent. Returns None if the payload is
     not binary PNM."""
     import re
@@ -68,12 +68,20 @@ def parse_pnm_gray(payload: bytes) -> np.ndarray | None:
                         offset=m.end()).astype(np.float64)
     if ch == 3:
         arr = arr.reshape(-1, 3) @ _RGB_W
-    return arr
+    return arr.reshape(h, w)
 
 
-def parse_bmp_gray(payload: bytes) -> np.ndarray | None:
-    """Decode an uncompressed 24-bit BMP to a flat grayscale float array
-    (pure stdlib/numpy). Returns None if the payload is not such a BMP."""
+def parse_pnm_gray(payload: bytes) -> np.ndarray | None:
+    """Flat-array view of :func:`parse_pnm_gray2d` (feature stages
+    histogram samples and never need the geometry)."""
+    grid = parse_pnm_gray2d(payload)
+    return None if grid is None else grid.reshape(-1)
+
+
+def parse_bmp_gray2d(payload: bytes) -> np.ndarray | None:
+    """Decode an uncompressed 24-bit BMP to an (h, w) grayscale float
+    grid (pure stdlib/numpy). Returns None if the payload is not such a
+    BMP."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -94,7 +102,13 @@ def parse_bmp_gray(payload: bytes) -> np.ndarray | None:
         .reshape(hh, w, 3).astype(np.float64)
     if h > 0:  # positive height = bottom-up row order
         grid = grid[::-1]
-    return (grid @ _RGB_W[::-1]).reshape(-1)  # BMP stores BGR
+    return grid @ _RGB_W[::-1]  # BMP stores BGR
+
+
+def parse_bmp_gray(payload: bytes) -> np.ndarray | None:
+    """Flat-array view of :func:`parse_bmp_gray2d`."""
+    grid = parse_bmp_gray2d(payload)
+    return None if grid is None else grid.reshape(-1)
 
 
 # frame sizes per Y4M colorspace tag: luma w*h plus two chroma planes
@@ -161,6 +175,44 @@ def encode_y4m(frames: np.ndarray) -> bytes:
     chroma = b"\x80" * (2 * ((w // 2) * (h // 2)))
     head = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)
     return head + b"".join(b"FRAME\n" + f.tobytes() + chroma for f in frames)
+
+
+def encode_pgm(gray: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 grayscale grid as binary PGM (P5) — the
+    output codec of :class:`ImageResizer` and the test-side twin of
+    ``parse_pnm_gray2d``."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + gray.tobytes()
+
+
+def _box_weights(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) exact area-overlap weight matrix for 1-D box
+    resampling: row i holds the overlap length of each input cell
+    [j, j+1) with output cell [i*s, (i+1)*s), s = n_in/n_out, normalized
+    to sum 1 (PIL's BOX filter semantics). Works for both down- and
+    up-sampling; every row sums to exactly one input-cell width so flat
+    images stay flat."""
+    s = n_in / n_out
+    starts = np.arange(n_out, dtype=np.float64) * s
+    j = np.arange(n_in, dtype=np.float64)
+    w = np.clip(np.minimum(starts[:, None] + s, j[None, :] + 1.0)
+                - np.maximum(starts[:, None], j[None, :]), 0.0, None)
+    return w / w.sum(axis=1, keepdims=True)
+
+
+def box_resize(grid: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact area-averaged (box) resample of an (h, w) float grid to
+    (out_h, out_w): two small matmuls, fully vectorized — separable box
+    filtering is Wr @ grid @ Wc.T."""
+    grid = np.asarray(grid, dtype=np.float64)
+    h, w = grid.shape
+    out = grid
+    if h != out_h:
+        out = _box_weights(h, out_h) @ out
+    if w != out_w:
+        out = out @ _box_weights(w, out_w).T
+    return out
 
 
 def encode_ppm(rgb: np.ndarray) -> bytes:
@@ -398,6 +450,80 @@ def media_features(ds, *, mode: str = "fake", batch_size: int = 256,
     return ds.map_batches(
         MediaDecoder,
         fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class ImageResizer:
+    """Actor-pool resize stage: decode image payloads to grayscale,
+    exact-area (box) resample to a fixed (height, width), re-encode as
+    binary PGM (P5). Decoders load once per actor in ``__init__``
+    (PNM/BMP built-in everywhere; Pillow extends to PNG/JPEG where
+    importable). Non-image rows pass through unchanged with null output
+    dims, so the stage composes mid-pipeline over mixed media tables."""
+
+    def __init__(self, height: int, width: int):
+        if height <= 0 or width <= 0:
+            raise ValueError("resize target must be positive")
+        self.h, self.w = int(height), int(width)
+        try:
+            from PIL import Image
+
+            self.pil = Image
+        except ImportError:
+            self.pil = None
+
+    def _gray2d(self, payload: bytes) -> np.ndarray:
+        import io
+
+        grid = parse_pnm_gray2d(payload)
+        if grid is None:
+            grid = parse_bmp_gray2d(payload)
+        if grid is not None:
+            return grid
+        if self.pil is not None:
+            img = self.pil.open(io.BytesIO(payload)).convert("L")
+            return np.asarray(img, dtype=np.float64)
+        raise NotImplementedError(
+            "no image codec for this payload in this environment "
+            "(PNM/BMP always decode; compressed formats need Pillow)")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        out_p: list[bytes] = []
+        out_h: list[int | None] = []
+        out_w: list[int | None] = []
+        for p, t in zip(payloads, types):
+            if t != "image":
+                out_p.append(p)
+                out_h.append(None)
+                out_w.append(None)
+                continue
+            small = box_resize(self._gray2d(p), self.h, self.w)
+            out_p.append(encode_pgm(
+                np.clip(np.rint(small), 0, 255).astype(np.uint8)))
+            out_h.append(self.h)
+            out_w.append(self.w)
+        return pa.Table.from_pydict({
+            "media_id": batch["media_id"],
+            "media_type": batch["media_type"],
+            "payload": pa.array(out_p, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in out_p], pa.int64()),
+            "out_h": pa.array(out_h, pa.int64()),
+            "out_w": pa.array(out_w, pa.int64()),
+        })
+
+
+def image_resize(ds, height: int, width: int, *, batch_size: int = 64,
+                 concurrency: int = 2):
+    """Resize pipeline stage (small batches: binary rows; large payloads
+    make batch_size the memory knob, guide 'memory-aware batches')."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"height": height, "width": width},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -2654,11 +2654,13 @@ def ann_variants_topk(sf_dir: str):
 def media_pipeline(sf_dir: str):
     """Multimodal plumbing in ONE driver-visible sweep: fake-decode
     feature extraction, every-Nth frame sampling, perceptual-hash dedup
-    groups, AND real-codec feature extraction over deterministically
+    groups, real-codec feature extraction AND real image resize (box
+    resample + P5 re-encode round trip) over deterministically
     synthesized PPM/WAV/Y4M payloads (every modality decodes through an
     actual parser — no codec library needed), normalized to long-format
     (kind, media_id, a, b)."""
-    from .multimodal import media_features, synthesize_real_media_dataset
+    from .multimodal import (image_resize, media_features, parse_pnm_gray,
+                             synthesize_real_media_dataset)
 
     feats = media_features_fake(sf_dir).to_pandas()
     frames = video_frame_sample(sf_dir).to_pandas()
@@ -2672,6 +2674,16 @@ def media_pipeline(sf_dir: str):
     real_argmax = np.array(
         [int(np.argmax(f)) for f in real["features"]], dtype=np.int64) \
         if len(real) else np.empty(0, dtype=np.int64)
+    # real resize: 8x8 PPM images box-downsample to 4x4 P5 payloads;
+    # re-decoding the emitted payload proves the round trip (mean pixel
+    # is area-preserved by the box filter up to uint8 quantization)
+    rsz = image_resize(synthesize_real_media_dataset(sf_dir), 4, 4) \
+        .to_pandas()
+    rsz = rsz[rsz["media_type"] == "image"].reset_index(drop=True)
+    rsz_mean = np.array(
+        [int(np.rint(parse_pnm_gray(bytes(p)).mean()))
+         for p in rsz["payload"]], dtype=np.int64) \
+        if len(rsz) else np.empty(0, dtype=np.int64)
     rows = [
         pd.DataFrame({"kind": "feature", "media_id": feats["media_id"],
                       "a": 0, "b": feats["feat_argmax"]}),
@@ -2682,6 +2694,8 @@ def media_pipeline(sf_dir: str):
                       "a": phash["phash"], "b": phash["n_items"]}),
         pd.DataFrame({"kind": "real_feature", "media_id": real["media_id"],
                       "a": real_argmax, "b": real["n_bytes"]}),
+        pd.DataFrame({"kind": "resize", "media_id": rsz["media_id"],
+                      "a": rsz_mean, "b": rsz["n_bytes"]}),
     ]
     out = pd.concat(rows, ignore_index=True)
     out["media_id"] = out["media_id"].astype(str)

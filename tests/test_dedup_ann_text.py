@@ -776,3 +776,86 @@ class TestPerCodecRealPaths:
 
         out = media_pipeline(sf_small)
         assert len(out) > 0
+
+
+class TestImageResize:
+    def test_box_resize_integer_factor_is_block_mean(self):
+        """Downsampling by an exact integer factor must equal the plain
+        block mean — the ground truth the area-overlap weights must hit."""
+        from sgp_sketch.multimodal import box_resize
+
+        rng = np.random.default_rng(5)
+        g = rng.integers(0, 256, (8, 12)).astype(np.float64)
+        want = g.reshape(4, 2, 6, 2).mean(axis=(1, 3))
+        assert np.allclose(box_resize(g, 4, 6), want)
+
+    def test_box_resize_preserves_mean_and_flatness(self):
+        """Box weights are a partition of area: the global mean survives
+        any target shape, and a constant image stays exactly constant
+        (rows sum to 1) — including non-integer ratios and upsampling."""
+        from sgp_sketch.multimodal import box_resize
+
+        rng = np.random.default_rng(7)
+        g = rng.normal(100.0, 30.0, (9, 7))
+        for oh, ow in [(4, 5), (13, 3), (9, 7), (18, 14)]:
+            out = box_resize(g, oh, ow)
+            assert out.shape == (oh, ow)
+            assert np.isclose(out.mean(), g.mean())
+        flat = np.full((5, 11), 42.0)
+        assert np.allclose(box_resize(flat, 7, 4), 42.0)
+
+    def test_image_resize_stage_round_trip(self, ray_session):
+        """The Ray stage resizes PPM *and* BMP images to P5 payloads that
+        re-decode at the target dims; non-image rows pass through
+        byte-identical with null dims."""
+        import struct
+
+        import pandas as pd
+        import ray.data as rd
+
+        from sgp_sketch.multimodal import (encode_ppm, image_resize,
+                                           parse_pnm_gray2d)
+
+        rng = np.random.default_rng(13)
+        rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        w = h = 8
+        row = (w * 3 + 3) & ~3
+        bgr = rgb[::-1][:, :, ::-1]
+        body = b"".join(bgr[r].tobytes().ljust(row, b"\0") for r in range(h))
+        bmp = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                             len(body), 2835, 2835, 0, 0) + body)
+        wav = b"not-an-image-payload"
+        ds = rd.from_pandas(pd.DataFrame({
+            "media_id": ["p0", "b0", "a0"],
+            "media_type": ["image", "image", "audio"],
+            "payload": [encode_ppm(rgb), bmp, wav],
+            "n_bytes": [len(encode_ppm(rgb)), len(bmp), len(wav)]}))
+        out = image_resize(ds, 4, 4).to_pandas() \
+            .sort_values("media_id").reset_index(drop=True)
+        assert list(out["media_id"]) == ["a0", "b0", "p0"]
+        # audio row: payload untouched, dims null
+        assert bytes(out.loc[0, "payload"]) == wav
+        assert pd.isna(out.loc[0, "out_h"]) and pd.isna(out.loc[0, "out_w"])
+        # image rows: P5 payloads that re-decode at exactly (4, 4), and
+        # the decoded pixels equal the box means of the source grayscale
+        gray = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        want = np.clip(np.rint(
+            gray.reshape(4, 2, 4, 2).mean(axis=(1, 3))), 0, 255)
+        for i in (1, 2):
+            grid = parse_pnm_gray2d(bytes(out.loc[i, "payload"]))
+            assert grid is not None and grid.shape == (4, 4)
+            assert np.allclose(grid, want)
+            assert out.loc[i, "out_h"] == 4 and out.loc[i, "out_w"] == 4
+            assert out.loc[i, "n_bytes"] == len(out.loc[i, "payload"])
+
+    def test_image_resize_rejects_bad_target_and_garbage(self, ray_session):
+        import pytest as _pytest
+
+        from sgp_sketch.multimodal import ImageResizer
+
+        with _pytest.raises(ValueError):
+            ImageResizer(0, 4)
+        r = ImageResizer(4, 4)
+        with _pytest.raises(NotImplementedError):
+            r._gray2d(b"\x00\x01garbage-bytes")
