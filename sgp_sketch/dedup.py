@@ -330,8 +330,13 @@ def minhash_lsh_pipeline(
             return _empty_pairs()
         return pd.DataFrame({"doc_a": src, "doc_b": dst})
 
-    star = dedup_pairs(
-        routed.groupby("skey").map_groups(_star, batch_format="pandas"))
+    # NO pair-dedup shuffle here: the same star edge recurs once per band
+    # the cluster collides in, but connected components over a MULTIGRAPH
+    # are identical to the deduped graph — the duplicate rows (~2x at
+    # sf0.1) ride one extra edge stream through CC far cheaper than the
+    # extra 64-bucket groupby round dedup_pairs would cost on this hot
+    # path (measured ~1s/query).
+    star = routed.groupby("skey").map_groups(_star, batch_format="pandas")
 
     from .analytics import connected_components_ds
 
