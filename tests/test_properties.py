@@ -243,3 +243,22 @@ def test_weighted_quota_matches_bruteforce(rows, budgets, parts):
         g = g.assign(h=hash_i64(g["doc_id"].to_numpy())).sort_values("h")
         exp += g.loc[g["w"].cumsum() <= b, "doc_id"].tolist()
     assert got == sorted(exp)
+
+
+@given(st.lists(st.lists(st.text(alphabet="abc é", max_size=6),
+                         max_size=12), max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_hashed_sets_matches_per_doc_unique(word_lists):
+    """_hashed_sets (ONE batched hash + lexsort segment dedup) must be
+    byte-identical to the historical per-doc np.unique(hash_str(...))
+    loop, including the sentinel-0 contribution of zero-word docs."""
+    from sgp_sketch.dedup import _hashed_sets
+    from sgp_sketch.hashing import hash_str
+
+    flat, starts = _hashed_sets(word_lists)
+    ends = np.append(starts[1:], len(flat))
+    assert len(starts) == len(word_lists)
+    for ws, s, e in zip(word_lists, starts, ends):
+        ref = (np.unique(hash_str(np.array(ws, dtype=object))) if ws
+               else np.array([0], dtype=np.uint64))
+        assert np.array_equal(flat[s:e], ref)
