@@ -52,6 +52,8 @@ def exact_dedup(ds, col: str = "text"):
     one vectorized pandas groupby.
     """
 
+    nb = np.uint64(_n_buckets())
+
     def _partial(b: pd.DataFrame) -> pd.DataFrame:
         h = content_hash_batch(b, col)[["doc_id", "content_hash"]]
         agg = h.groupby("content_hash", sort=False).agg(
@@ -59,7 +61,7 @@ def exact_dedup(ds, col: str = "text"):
         ).reset_index()
         agg["bucket"] = (hash_str(np.asarray(agg["content_hash"],
                                              dtype=object))
-                         % np.uint64(_DEDUP_BUCKETS)).astype(np.int64)
+                         % nb).astype(np.int64)
         return agg
 
     def _fold(g: pd.DataFrame) -> pd.DataFrame:
@@ -73,6 +75,22 @@ def exact_dedup(ds, col: str = "text"):
 
 
 _DEDUP_BUCKETS = 64
+
+
+def _n_buckets() -> int:
+    """Routing-key space for the bucketed-shuffle stages. Read ONCE in the
+    driver at pipeline-construction time and captured into the closures —
+    every task in a shuffle must agree on the modulus or groups split and
+    the vectorized in-group dedup/segment logic silently breaks, so
+    workers must never read their own copy (their env could differ). 64
+    is the measured single-node optimum (group internals are vectorized);
+    on a real multi-node cluster set ``SGP_DEDUP_BUCKETS`` to roughly the
+    aggregate core count so the bucketed stages spread across nodes."""
+    import os
+
+    env = os.environ.get("SGP_DEDUP_BUCKETS")
+    return int(env) if env else _DEDUP_BUCKETS
+
 
 # Oversized-bucket pair generation: emit pairs in row-chunks of this size so
 # peak temporary memory is O(chunk * n), not O(n^2), while staying EXACT.
@@ -123,6 +141,8 @@ def dedup_pairs(cand, extra_col: str | None = None):
     ``drop_duplicates`` — the explicit partitioned-dedup pattern.
     """
 
+    nb = _n_buckets()
+
     def _pack(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
             return pd.DataFrame({"pair": pd.Series([], dtype="int64"),
@@ -142,7 +162,7 @@ def dedup_pairs(cand, extra_col: str | None = None):
             "pair": da * (1 << 31) + db,
         })
         out["extra"] = batch[extra_col].astype("int64") if extra_col else 0
-        out["bucket"] = out["pair"] % _DEDUP_BUCKETS
+        out["bucket"] = out["pair"] % nb
         return out.drop_duplicates("pair")  # in-batch combiner
 
     packed = cand.map_batches(_pack, batch_format="pandas")
@@ -277,6 +297,7 @@ def minhash_lsh_pipeline(
 
     a, b = minhash_params(n_perm, seed)
     rows = n_perm // bands
+    nb = np.uint64(_n_buckets())
 
     # stateless tasks (closures over the tiny perm params): a standing
     # actor pool here would reserve CPUs and can starve the downstream
@@ -345,7 +366,7 @@ def minhash_lsh_pipeline(
         bu = batch["bucket"].to_numpy().astype(np.uint64)
         bd = batch["band"].to_numpy().astype(np.uint64)
         out["skey"] = ((splitmix64(bu ^ splitmix64(bd)) %
-                        np.uint64(_DEDUP_BUCKETS)).astype(np.int64))
+                        nb).astype(np.int64))
         return out
 
     routed = buckets.map_batches(_route, batch_format="pandas")
@@ -488,7 +509,7 @@ def minhash_lsh_pipeline(
             out = b.copy()
             out["ckey"] = (
                 splitmix64(b["component"].to_numpy().astype(np.uint64))
-                % np.uint64(_DEDUP_BUCKETS)).astype("int64")
+                % nb).astype("int64")
             return out
 
         def _tiles_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -522,7 +543,7 @@ def minhash_lsh_pipeline(
                 "chunk": c_rep.astype("int64"),
                 "ci": ci.astype("int64"),
                 "cj": cj.astype("int64"),
-                "tkey": (tkey % np.uint64(_DEDUP_BUCKETS)).astype("int64"),
+                "tkey": (tkey % nb).astype("int64"),
             })
 
         tiles = comp_ds.map_batches(_route_comp, batch_format="pandas") \
@@ -669,12 +690,14 @@ def simhash_pipeline(ds, *, hamming_threshold: int = 3,
     # route chunk buckets into 64 fixed shuffle groups (never one Ray
     # group per distinct chunk value — ~10ms/group), then segment each
     # group vectorized and emit pairs per segment
+    nb = np.uint64(_n_buckets())
+
     def _route(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
         ck = b["chunk"].to_numpy().astype(np.uint64)
         ci = b["chunk_id"].to_numpy().astype(np.uint64)
         out["skey"] = (splitmix64(ck ^ splitmix64(ci))
-                       % np.uint64(_DEDUP_BUCKETS)).astype(np.int64)
+                       % nb).astype(np.int64)
         return out
 
     def _pairs_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -729,6 +752,8 @@ def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
     (``Dataset.union`` + one groupby) and every bucket verifies its pairs
     against a local dict."""
 
+    nb = _n_buckets()
+
     def sigs(batch: pd.DataFrame) -> pd.DataFrame:
         words = [_shingles(txt.split(" "), shingle) for txt in batch[text_col]]
         # batched distinct-hash computation (ONE hash_str pass + segment
@@ -775,7 +800,7 @@ def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
         db = b["doc_b"].to_numpy(dtype=np.int64) if len(b) else \
             np.empty(0, np.int64)
         return pa.Table.from_arrays(
-            [pa.array(da % _DEDUP_BUCKETS), pa.array(da), pa.array(db),
+            [pa.array(da % nb), pa.array(da), pa.array(db),
              pa.array([b""] * len(da), pa.binary())], schema=vrow_schema)
 
     pair_rows = cand.map_batches(_pair_rows, batch_format="pandas")
@@ -786,7 +811,7 @@ def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
                                  "vbucket": pd.Series([], dtype="int64")})
         da = b["doc_a"].to_numpy(dtype=np.int64)
         db = b["doc_b"].to_numpy(dtype=np.int64)
-        vb = da % _DEDUP_BUCKETS
+        vb = da % nb
         # in-batch combiner at native width (pandas drop_duplicates was
         # ~1s/batch here — the measured hot spot of the verify stage).
         # doc_a's vbucket is a function of doc_a, so unique(doc_a) covers
@@ -799,7 +824,7 @@ def _verify_pairs_join(ds, cand, threshold: float, doc_col: str,
         keep[1:] = (d2[1:] != d2[:-1]) | (v2[1:] != v2[:-1])
         return pd.DataFrame({
             "doc": np.concatenate([ua, d2[keep]]),
-            "vbucket": np.concatenate([ua % _DEDUP_BUCKETS, v2[keep]]),
+            "vbucket": np.concatenate([ua % nb, v2[keep]]),
         })
 
     needed = cand.map_batches(_needed, batch_format="pandas")
@@ -903,6 +928,8 @@ def winnow_dup_pairs(ds, *, k: int = 5, w: int = 4, min_shared: int = 2,
     """
     from .text import winnow_fingerprints
 
+    nb = _n_buckets()
+
     def _fps(b: pd.DataFrame) -> pd.DataFrame:
         fs, dd = [], []
         for did, txt in zip(b[doc_col], b[text_col]):
@@ -916,7 +943,7 @@ def winnow_dup_pairs(ds, *, k: int = 5, w: int = 4, min_shared: int = 2,
                          or int(out["doc"].min()) < 0):
             raise ValueError("winnow_dup_pairs packs pairs into one int64 "
                              "and requires 0 <= doc_id < 2**31")
-        out["bucket"] = (out["fp"] % _DEDUP_BUCKETS).astype("int64")
+        out["bucket"] = (out["fp"] % nb).astype("int64")
         return out
 
     routed = ds.select_columns([doc_col, text_col]).map_batches(
@@ -953,7 +980,7 @@ def winnow_dup_pairs(ds, *, k: int = 5, w: int = 4, min_shared: int = 2,
         up, cnt = np.unique(pair, return_counts=True)  # in-bucket combiner
         return pd.DataFrame({"pair": up.astype("int64"),
                              "cnt": cnt.astype("int64"),
-                             "pbucket": (up % _DEDUP_BUCKETS).astype("int64")})
+                             "pbucket": (up % nb).astype("int64")})
 
     partial = routed.groupby("bucket").map_groups(_fp_pairs,
                                                   batch_format="pandas")

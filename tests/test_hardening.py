@@ -473,3 +473,34 @@ def test_round_half_away_matches_duckdb():
             (want,) = duckdb.sql(
                 f"SELECT round(CAST({float(v)!r} AS DOUBLE), {d})").fetchone()
             assert float(round_half_away(v, d)) == want, (v, d)
+
+
+# --- SGP_DEDUP_BUCKETS is routing-only ------------------------------------
+
+def test_dedup_bucket_count_is_routing_only(ray_session, monkeypatch):
+    """The bucket-space knob must never change results: pipelines capture
+    the modulus ONCE at construction (driver-side) so every shuffle task
+    agrees, and any count produces the same pairs/survivors."""
+    from sgp_sketch import dedup as D
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": (["alpha beta gamma delta"] * 15
+                 + ["alpha beta gamma zeta"] * 15
+                 + [f"unique text number {i} with words" for i in range(10)]),
+    })
+
+    def run():
+        pairs = D.minhash_lsh_pipeline(
+            _ds(df), n_perm=64, bands=16, jaccard_threshold=0.5
+        ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        kept = D.exact_dedup(_ds(df)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        return pairs, kept
+
+    base_pairs, base_kept = run()
+    monkeypatch.setenv("SGP_DEDUP_BUCKETS", "7")
+    alt_pairs, alt_kept = run()
+    pd.testing.assert_frame_equal(base_pairs, alt_pairs)
+    pd.testing.assert_frame_equal(base_kept, alt_kept)
+    assert len(base_pairs) > 0 and len(base_kept) == 12
