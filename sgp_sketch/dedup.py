@@ -89,7 +89,17 @@ def _n_buckets() -> int:
     import os
 
     env = os.environ.get("SGP_DEDUP_BUCKETS")
-    return int(env) if env else _DEDUP_BUCKETS
+    if not env:
+        return _DEDUP_BUCKETS
+    try:
+        nb = int(env)
+    except ValueError:
+        raise ValueError(f"SGP_DEDUP_BUCKETS must be an integer, got {env!r}")
+    if nb <= 0:
+        # a zero modulus is SILENTLY degenerate in numpy (uint64 % 0 -> 0
+        # with only a RuntimeWarning) — fail loudly instead
+        raise ValueError(f"SGP_DEDUP_BUCKETS must be positive, got {nb}")
+    return nb
 
 
 # Oversized-bucket pair generation: emit pairs in row-chunks of this size so
@@ -204,7 +214,9 @@ def _hashed_sets(word_lists: list[list[str]]) -> tuple[np.ndarray, np.ndarray]:
     ascending, exactly like ``np.unique``). Zero-word docs contribute the
     sentinel hash 0 (parity with the historical per-doc path). Returns
     ``(flat, starts)``: the concatenated per-doc sets and each doc's start
-    offset (segment i is ``flat[starts[i]:starts[i+1]]``)."""
+    offset — ``starts`` has exactly n entries (no end sentinel), so
+    reconstruct ends as ``np.append(starts[1:], len(flat))`` before
+    slicing segment i as ``flat[starts[i]:ends[i]]``."""
     n = len(word_lists)
     if n == 0:
         return np.empty(0, np.uint64), np.zeros(0, np.int64)
