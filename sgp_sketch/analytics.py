@@ -432,6 +432,50 @@ def connected_components(edges, *, max_rounds: int = 64) -> pd.DataFrame:
     return ShardedGraph(edges).connected_components(max_rounds=max_rounds)
 
 
+def _cc_local_edge_threshold() -> int:
+    """Edge count below which ``connected_components_ds`` runs as ONE
+    remote task instead of building a ShardedGraph: the sharded build +
+    fused rounds carry ~1s of fixed actor-round cost that dwarfs the
+    folded computation on small graphs (the r04 review's suggested
+    size-adaptive path). 2M edges of int64 pairs is ~32 MB in one task —
+    comfortably single-worker. ``SGP_CC_LOCAL_EDGES`` overrides (0
+    disables the local path entirely)."""
+    import os
+
+    env = os.environ.get("SGP_CC_LOCAL_EDGES")
+    return int(env) if env is not None else 2_000_000
+
+
+def _cc_local_task(tables):
+    """Exact connected components over int64 edges, one vectorized task:
+    min-label propagation + pointer jumping (O(log n) sweeps). Labels
+    start as the rank of the SORTED vertex array, so rank order matches
+    id order and the converged label is the component's TRUE MINIMUM id
+    — identical semantics to the ShardedGraph integer path."""
+    # to_arrow_refs hands back whatever the blocks are — a pandas-block
+    # dataset (map_groups pandas outputs) arrives as DataFrames
+    tables = [pa.Table.from_pandas(x, preserve_index=False)
+              if isinstance(x, pd.DataFrame) else x for x in tables]
+    t = pa.concat_tables(tables, promote_options="permissive")
+    src = t["src"].to_numpy().astype(np.int64)
+    dst = t["dst"].to_numpy().astype(np.int64)
+    verts = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(verts, src)
+    d = np.searchsorted(verts, dst)
+    lab = np.arange(len(verts), dtype=np.int64)
+    while True:
+        m = np.minimum(lab[s], lab[d])
+        nl = lab.copy()
+        np.minimum.at(nl, s, m)
+        np.minimum.at(nl, d, m)
+        nl = nl[nl[nl]]  # pointer jumping: labels chase their label's label
+        if np.array_equal(nl, lab):
+            break
+        lab = nl
+    return pa.table({"vertex": verts,
+                     "component": verts[lab]})
+
+
 def connected_components_ds(edges, *, max_rounds: int = 64,
                             rows_per_block: int = 1 << 20):
     """Dataset-returning connected components for DISTRIBUTED consumers.
@@ -441,6 +485,13 @@ def connected_components_ds(edges, *, max_rounds: int = 64,
     ranking, tile replication, joins) run as Dataset transforms and the
     component table never exists on the driver at all.
     Returns (Dataset[vertex, component], n_vertices).
+
+    Size-adaptive: INTEGER-id graphs at or under
+    ``SGP_CC_LOCAL_EDGES`` (default 2M) edges run as one vectorized
+    remote task (``_cc_local_task`` — same true-min-id labels, ~1s of
+    sharded-actor fixed cost saved per call, and the shared per-k shard
+    pool is left untouched for any live ShardedGraph). Bigger or
+    string-id graphs take the sharded path.
     """
     del rows_per_block  # blocks are per-shard now; kept for API compat
     import ray
@@ -461,6 +512,22 @@ def connected_components_ds(edges, *, max_rounds: int = 64,
             {"vertex": pa.array([], pa.int64()),
              "component": pa.array([], pa.int64())}))
         return empty, 0
+    sch = edges.schema()
+    try:
+        types = dict(zip(sch.names, sch.types))
+        int_ids = all(pa.types.is_integer(types[c]) for c in ("src", "dst"))
+    except (TypeError, KeyError, AttributeError):
+        int_ids = False  # unknown schema shape: take the sharded path
+    if int_ids and edges.count() <= _cc_local_edge_threshold():
+        @ray.remote(num_cpus=1, num_returns=2)
+        def _run(*tables):
+            t = _cc_local_task(tables)
+            return t, len(t)
+
+        # the component table stays in the object store (only its row
+        # count comes back to the driver)
+        comp_ref, n_ref = _run.remote(*edges.to_arrow_refs())
+        return ray.data.from_arrow_refs([comp_ref]), int(ray.get(n_ref))
     return ShardedGraph(edges).connected_components_ds(
         max_rounds=max_rounds)
 

@@ -504,3 +504,29 @@ def test_dedup_bucket_count_is_routing_only(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(base_pairs, alt_pairs)
     pd.testing.assert_frame_equal(base_kept, alt_kept)
     assert len(base_pairs) > 0 and len(base_kept) == 12
+
+
+# --- size-adaptive connected components ------------------------------------
+
+def test_cc_local_path_matches_sharded(ray_session, monkeypatch):
+    """The small-graph local CC task must label exactly like the
+    ShardedGraph integer path (true minimum id per component), including
+    sparse ids, duplicate edges, and self-loops."""
+    from sgp_sketch.analytics import connected_components_ds
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 300, 900) * 1_000_003 + 7
+    dst = rng.integers(0, 300, 900) * 1_000_003 + 7
+    edges = _ds(pd.DataFrame({"src": src.astype("int64"),
+                              "dst": dst.astype("int64")}))
+    monkeypatch.setenv("SGP_CC_LOCAL_EDGES", "1000000")
+    loc, n_loc = connected_components_ds(edges)
+    loc = loc.to_pandas().sort_values("vertex").reset_index(drop=True)
+    monkeypatch.setenv("SGP_CC_LOCAL_EDGES", "0")  # 0 disables local path
+    sh, n_sh = connected_components_ds(edges)
+    sh = sh.to_pandas().sort_values("vertex").reset_index(drop=True)
+    assert n_loc == n_sh
+    pd.testing.assert_frame_equal(loc.astype("int64"), sh.astype("int64"))
+    # labels are the true component minimum
+    assert (loc.groupby("component")["vertex"].min().to_numpy()
+            == loc["component"].unique()).all()
