@@ -507,18 +507,21 @@ def connected_components_ds(edges, *, max_rounds: int = 64,
     # limit=1 plan (measured 1.4s on the sf0.1 star-edge stream), and
     # the graph build consumes the full stream right after.
     edges = edges.materialize()
-    if edges.schema() is None:
+    sch = edges.schema()
+    if sch is None:
         empty = ray.data.from_arrow(pa.table(
             {"vertex": pa.array([], pa.int64()),
              "component": pa.array([], pa.int64())}))
         return empty, 0
-    sch = edges.schema()
     try:
         types = dict(zip(sch.names, sch.types))
         int_ids = all(pa.types.is_integer(types[c]) for c in ("src", "dst"))
     except (TypeError, KeyError, AttributeError):
         int_ids = False  # unknown schema shape: take the sharded path
-    if int_ids and edges.count() <= _cc_local_edge_threshold():
+    thr = _cc_local_edge_threshold()
+    # thr > 0: SGP_CC_LOCAL_EDGES=0 must disable the local path even for
+    # a typed zero-row stream (count 0 <= 0 would otherwise select it)
+    if int_ids and thr > 0 and edges.count() <= thr:
         @ray.remote(num_cpus=1, num_returns=2)
         def _run(*tables):
             t = _cc_local_task(tables)

@@ -520,11 +520,17 @@ def test_cc_local_path_matches_sharded(ray_session, monkeypatch):
     edges = _ds(pd.DataFrame({"src": src.astype("int64"),
                               "dst": dst.astype("int64")}))
     monkeypatch.setenv("SGP_CC_LOCAL_EDGES", "1000000")
-    loc, n_loc = connected_components_ds(edges)
-    loc = loc.to_pandas().sort_values("vertex").reset_index(drop=True)
+    loc_ds, n_loc = connected_components_ds(edges)
+    # the local branch must ACTUALLY have run (one task -> one block);
+    # the sharded path emits one block per shard (DEFAULT_SHARDS=8) —
+    # without this the differential below passes vacuously if the
+    # int-type detection silently stops selecting the local path
+    assert loc_ds.num_blocks() == 1
+    loc = loc_ds.to_pandas().sort_values("vertex").reset_index(drop=True)
     monkeypatch.setenv("SGP_CC_LOCAL_EDGES", "0")  # 0 disables local path
-    sh, n_sh = connected_components_ds(edges)
-    sh = sh.to_pandas().sort_values("vertex").reset_index(drop=True)
+    sh_ds, n_sh = connected_components_ds(edges)
+    assert sh_ds.num_blocks() > 1  # and 0 really forces the sharded path
+    sh = sh_ds.to_pandas().sort_values("vertex").reset_index(drop=True)
     assert n_loc == n_sh
     pd.testing.assert_frame_equal(loc.astype("int64"), sh.astype("int64"))
     # labels are the true component minimum
